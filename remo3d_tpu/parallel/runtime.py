@@ -1,0 +1,209 @@
+# -*- coding: utf-8 -*-
+"""Batched solve executor over the JAX device mesh.
+
+TPU-native replacement for the reference's MPI master/worker runtime
+(remo3d.py:552-599,723-899 + workers/worker.py): instead of a dynamic pull-queue of
+tasks over processes, all batch meshes are stacked into fixed-shape arrays, solved by
+ONE compiled program (assembly + batched PCG + readout), and sharded over devices
+along the batch axis with ``jax.sharding``. Dynamic load balancing is unnecessary —
+solves are uniform-cost by construction (fixed topology), so static even partitioning
+with NaN padding replaces the reference's ready-ping scheduler (remo3d.py:845-860).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..meshing.carve import carve_local_model
+from ..meshing.grid2d import Grid2D, GridSpec2D, build_grid2d
+from ..ops import assemble_stencil_2d, pcg
+from ..planner import BatchTask
+from ..utils.timers import PhaseTimers
+
+MAX_SOURCES = 2  # per solve: one (+1) in SEC form or a (+1, -1) pair
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
+    """Assemble + batched PCG + axis-potential extraction for one chunk.
+
+    Module-level so XLA's jit cache is shared across Executor instances (one compile
+    per shape signature for the whole process).
+
+    coords (B, NZ, NR, 2), sigma (B, NZ-1, NR-1), free (B, NZ, NR) bool,
+    src_i (B, S, MAX_SOURCES) int32, src_fac (B, S, MAX_SOURCES).
+    """
+    nz, nr = coords.shape[-3], coords.shape[-2]
+    C = assemble_stencil_2d(coords, sigma, free)
+
+    def one_rhs(idx, fac):
+        b = jnp.zeros((nz, nr), dtype=coords.dtype)
+        return b.at[idx, 0].add(fac)
+
+    b = jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)  # (B, S, NZ, NR)
+    u, info = pcg(C, b, tol=tol, maxiter=maxiter)
+    # Axis potentials are all the readout ever needs (electrodes sit on axis grid
+    # nodes; worker.py:124-131 evaluates u at (0, z) / (0, 0, z)).
+    return u[..., 0], info["rel_residual"], info["iterations"]
+
+
+@dataclasses.dataclass
+class ExecutorConfig:
+    spec: GridSpec2D = dataclasses.field(default_factory=GridSpec2D)
+    tol: float = 1e-7
+    maxiter: int = 20000
+    dtype: str = "float32"
+    chunk_size: int = 16  # batch meshes per device dispatch (multiplied up to devices)
+    preconditioner: str = "multigrid"  # "local" (Jacobi) or "multigrid"
+    platform: str | None = None  # None = JAX default (TPU when present); "cpu" for tests
+    # A solve is declared failed (NaN readouts, matching the reference's per-task NaN
+    # containment, worker.py:135-138) only above this attained relative residual;
+    # between tol and this, the attained accuracy is accepted (float32 stragglers).
+    fail_residual: float = 1e-4
+
+
+class Executor:
+    """Plans device dispatches for a list of :class:`BatchTask` and runs them."""
+
+    def __init__(self, config: ExecutorConfig):
+        self.config = config
+        self.timers = PhaseTimers()
+        self._devices = (
+            jax.devices(config.platform) if config.platform else jax.devices()
+        )
+
+    # ------------------------------------------------------------------- host side
+    def prepare_batches(
+        self,
+        tasks: list[BatchTask],
+        formation_parameters: np.ndarray,
+        borehole_geometry: np.ndarray,
+        mud_resistivities: np.ndarray,
+        domain_radius: float,
+        dip_rad: float,
+        active_geometry_window: float,
+    ) -> list[Grid2D]:
+        """Carve the local model and build the structured grid for every batch."""
+        grids = []
+        with self.timers.phase("mesh"):
+            for t in tasks:
+                lm = carve_local_model(
+                    formation_parameters,
+                    borehole_geometry,
+                    float(mud_resistivities[t.batch_index]),
+                    t.center_depth,
+                    domain_radius,
+                    dip_rad=dip_rad,
+                    active_geometry_window=active_geometry_window,
+                )
+                sources = np.unique(
+                    np.concatenate([s.source_positions for s in t.solves])
+                )
+                grids.append(
+                    build_grid2d(
+                        self.config.spec,
+                        domain_radius,
+                        lm,
+                        t.electrode_positions,
+                        sources,
+                    )
+                )
+        return grids
+
+    def run(
+        self,
+        tasks: list[BatchTask],
+        grids: list[Grid2D],
+        n_measurements: int,
+        n_tools: int,
+    ) -> np.ndarray:
+        """Execute all batches; returns results[measurement, tool] (NaN on failure)."""
+        spec = self.config.spec
+        dtype = np.dtype(self.config.dtype)
+        S = max(len(t.solves) for t in tasks)
+        B_total = len(tasks)
+        n_dev = len(self._devices)
+        chunk = max(self.config.chunk_size, n_dev)
+        chunk = ((chunk + n_dev - 1) // n_dev) * n_dev  # multiple of device count
+
+        if n_dev > 1:
+            mesh = jax.sharding.Mesh(np.array(self._devices), ("batch",))
+            sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("batch")
+            )
+        else:
+            # Commit to the executor's device so jit runs there (the process default
+            # device may be a different backend).
+            sharding = self._devices[0]
+
+        results = np.full((n_measurements, n_tools), np.nan)
+
+        for start in range(0, B_total, chunk):
+            batch_tasks = tasks[start : start + chunk]
+            batch_grids = grids[start : start + chunk]
+            B = chunk  # pad to full chunk so one executable serves all dispatches
+
+            coords = np.zeros((B, spec.nz, spec.nr, 2), dtype=dtype)
+            sigma = np.zeros((B, spec.nz - 1, spec.nr - 1), dtype=dtype)
+            free = np.zeros((B, spec.nz, spec.nr), dtype=bool)
+            src_i = np.zeros((B, S, MAX_SOURCES), dtype=np.int32)
+            src_fac = np.zeros((B, S, MAX_SOURCES), dtype=dtype)
+
+            with self.timers.phase("stage"):
+                for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
+                    coords[bi] = g.coords
+                    sigma[bi] = g.sigma_cells
+                    free[bi] = g.free_mask
+                    for si, s in enumerate(t.solves):
+                        for k, (pos, fac) in enumerate(
+                            zip(s.source_positions, s.source_terms)
+                        ):
+                            src_i[bi, si, k] = g.axis_node_index(pos)
+                            src_fac[bi, si, k] = fac
+                # Keep padded lanes numerically benign: unit coords, sigma 1.
+                for bi in range(len(batch_tasks), B):
+                    coords[bi] = batch_grids[0].coords
+                    sigma[bi] = 1.0
+                    free[bi] = batch_grids[0].free_mask
+
+            args = [
+                jax.device_put(a, sharding)
+                for a in (coords, sigma, free, src_i, src_fac)
+            ]
+
+            with self.timers.phase("solve"):
+                u_axis, rel_res, iters = _solve_chunk(
+                    *args, tol=self.config.tol, maxiter=self.config.maxiter
+                )
+                u_axis = np.asarray(u_axis)
+                rel_res = np.asarray(rel_res)
+
+            with self.timers.phase("readout"):
+                for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
+                    for si, s in enumerate(t.solves):
+                        failed = (
+                            not np.isfinite(rel_res[bi, si])
+                            or rel_res[bi, si] > self.config.fail_residual
+                        )
+                        for ro in s.readouts:
+                            if failed:
+                                value = np.nan
+                            else:
+                                pots = [
+                                    u_axis[bi, si, g.axis_node_index(p)]
+                                    for p in ro.measuring_positions
+                                ]
+                                if len(pots) == 2:
+                                    value = abs(
+                                        ro.geometric_factor * (pots[1] - pots[0])
+                                    )
+                                else:
+                                    value = abs(ro.geometric_factor * pots[0])
+                            results[ro.measurement_index, ro.tool_index] = value
+
+        return results
