@@ -34,8 +34,8 @@ from .carve import LocalModel
 class GridSpec2D:
     """Static grid topology + grading parameters (compile-time constants)."""
 
-    nz: int = 401  # axial node lines
-    nr: int = 69  # radial node stations
+    nz: int = 601  # axial node lines; nz-1 divisible by 8 for multigrid coarsening
+    nr: int = 97  # radial node stations; nr-1 divisible by 8 for multigrid coarsening
     n_wall_cells: int = 8  # cells between axis and borehole wall
     n_blend_cells: int = 4  # cells between the wall and the first fixed station
     # Axial grading: h(z) = clip(h_min_src + slope_src*dist_to_source, ., h_max)
@@ -120,6 +120,13 @@ def _snap(lines: np.ndarray, targets: np.ndarray, lock_ends: bool = True) -> np.
     """
     lines = lines.copy()
     targets = np.sort(np.unique(np.asarray(targets, dtype=float)))
+    if targets.size > 1:
+        # Merge targets that only differ by float noise (e.g. a layer boundary at
+        # center+0.1 vs an electrode rounded to 0.1): coincident targets would snap
+        # two adjacent lines onto (nearly) the same position and produce degenerate
+        # cells whose float32 Jacobians vanish.
+        keep = np.concatenate([[True], np.diff(targets) > 1e-7])
+        targets = targets[keep]
     lo_idx = 1 if lock_ends else 0
     hi_idx = lines.size - 2 if lock_ends else lines.size - 1
     targets = targets[(targets > lines[0]) & (targets < lines[-1])] if lock_ends else targets

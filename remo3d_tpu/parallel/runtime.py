@@ -22,14 +22,24 @@ import numpy as np
 from ..meshing.carve import carve_local_model
 from ..meshing.grid2d import Grid2D, GridSpec2D, build_grid2d
 from ..ops import assemble_stencil_2d, pcg
+from ..ops.multigrid import MGConfig, make_mg_preconditioner
 from ..planner import BatchTask
 from ..utils.timers import PhaseTimers
 
 MAX_SOURCES = 2  # per solve: one (+1) in SEC form or a (+1, -1) pair
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter"))
-def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
+def _feasible_mg_levels(nz: int, nr: int, want: int = 4) -> int:
+    levels = 1
+    step = 1
+    while levels < want and (nz - 1) % (2 * step) == 0 and (nr - 1) % (2 * step) == 0:
+        levels += 1
+        step *= 2
+    return levels
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "preconditioner"))
+def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
 
     Module-level so XLA's jit cache is shared across Executor instances (one compile
@@ -39,14 +49,23 @@ def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
     src_i (B, S, MAX_SOURCES) int32, src_fac (B, S, MAX_SOURCES).
     """
     nz, nr = coords.shape[-3], coords.shape[-2]
-    C = assemble_stencil_2d(coords, sigma, free)
 
     def one_rhs(idx, fac):
         b = jnp.zeros((nz, nr), dtype=coords.dtype)
         return b.at[idx, 0].add(fac)
 
     b = jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)  # (B, S, NZ, NR)
-    u, info = pcg(C, b, tol=tol, maxiter=maxiter)
+
+    n_levels = _feasible_mg_levels(nz, nr) if preconditioner == "multigrid" else 1
+    if n_levels > 1:
+        C, M_inv = make_mg_preconditioner(
+            coords, sigma, free, MGConfig(n_levels=n_levels)
+        )
+        u, info = pcg(C, b, M_inv=M_inv, tol=tol, maxiter=maxiter)
+    else:
+        # "local" preconditioner parity (ngsolve_functions.py:46): point Jacobi.
+        C = assemble_stencil_2d(coords, sigma, free)
+        u, info = pcg(C, b, tol=tol, maxiter=maxiter)
     # Axis potentials are all the readout ever needs (electrodes sit on axis grid
     # nodes; worker.py:124-131 evaluates u at (0, z) / (0, 0, z)).
     return u[..., 0], info["rel_residual"], info["iterations"]
@@ -56,7 +75,7 @@ def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
 class ExecutorConfig:
     spec: GridSpec2D = dataclasses.field(default_factory=GridSpec2D)
     tol: float = 1e-7
-    maxiter: int = 20000
+    maxiter: int = 1000
     dtype: str = "float32"
     chunk_size: int = 16  # batch meshes per device dispatch (multiplied up to devices)
     preconditioner: str = "multigrid"  # "local" (Jacobi) or "multigrid"
@@ -178,7 +197,10 @@ class Executor:
 
             with self.timers.phase("solve"):
                 u_axis, rel_res, iters = _solve_chunk(
-                    *args, tol=self.config.tol, maxiter=self.config.maxiter
+                    *args,
+                    tol=self.config.tol,
+                    maxiter=self.config.maxiter,
+                    preconditioner=self.config.preconditioner,
                 )
                 u_axis = np.asarray(u_axis)
                 rel_res = np.asarray(rel_res)
