@@ -1,0 +1,196 @@
+# -*- coding: utf-8 -*-
+"""Boundary-fitted structured hex grid for the 3D dipping-layer problem.
+
+Replaces the reference's per-task gmsh 3D meshes (half-sphere + revolved borehole +
+rotated layer boxes + invasion half-cylinders, gmsh_functions.py:544-684) with a
+fixed-topology sheared-cylindrical grid over the half-ball y >= 0:
+
+* axial lines graded/snapped exactly like the 2D builder (electrodes + the depths
+  where dipping layer planes cross the borehole axis);
+* radial stations wall-following inside the borehole, snapped to invasion radii —
+  vertical cylinders stay grid-conforming because the dip shear only moves z;
+* a TAPERED DIP SHEAR ``z = zeta + tan(dip)*x*clamp*taper`` makes the dipping layer
+  planes (z = z_b + tan(dip)*x, the rotation the reference applies to layer boxes,
+  gmsh_functions.py:607-617) grid-conforming near the tool; the shear is clamped to
+  0.2R and tapered to zero at the axial ends so no cell can invert and the domain
+  boundary stays put (far-field non-conformity is absorbed by centroid sigma
+  sampling, exactly like the far-field squircle region in 2D);
+* the 2D squircle blend applied in the (z, rho) meridian plane maps the outer grid
+  onto the EXACT sphere of ``domain_radius`` (the reference's Dirichlet surface);
+* the azimuth spans [0, pi]: the y=0 symmetry plane is a natural Neumann boundary
+  and readouts are halved, matching the reference's half-space convention
+  (worker.py:129-131).
+
+Axis ordering: (i = axial, j = azimuth, k = radial station). Station k=0 is the
+borehole axis; its coincident azimuth DOFs are tied by the solver's pole projector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .carve import LocalModel
+from .grid2d import _graded_1d, _snap, _squircle_blend
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec3D:
+    """Static 3D grid topology + grading parameters."""
+
+    nz: int = 193  # axial lines; nz-1 divisible by 8 for multigrid
+    np_: int = 17  # azimuth lines over [0, pi]; np_-1 divisible by 8
+    nr: int = 49  # radial stations; nr-1 divisible by 8
+    n_wall_cells: int = 6
+    n_blend_cells: int = 3
+    h_min_source: float = 0.01
+    slope_source: float = 0.5
+    h_min_electrode: float = 0.04
+    slope_electrode: float = 0.7
+    h_min_boundary: float = 0.08
+    slope_boundary: float = 1.2
+    h_max_axial_frac: float = 0.15
+    h_min_radial: float = 0.03
+    slope_radial: float = 0.5
+    h_max_radial_frac: float = 0.15
+    blend_m0: float = 0.35
+    shear_cap_frac: float = 0.2  # max |shear offset| as a fraction of R
+
+
+@dataclasses.dataclass
+class Grid3D:
+    spec: GridSpec3D
+    z_axis: np.ndarray  # (NZ,) axial line positions (exact on the borehole axis)
+    coords: np.ndarray  # (NZ, NP, NR, 3) physical (x, y, z)
+    sigma_cells: np.ndarray  # (NZ-1, NP-1, NR-1)
+    free_mask: np.ndarray  # (NZ, NP, NR)
+
+    def axis_node_index(self, z: float, tol: float = 1e-3) -> int:
+        i = int(np.argmin(np.abs(self.z_axis - z)))
+        if abs(self.z_axis[i] - z) > tol:
+            raise ValueError(
+                f"position {z} is not a grid line (nearest {self.z_axis[i]:.5f})"
+            )
+        return i
+
+
+def build_grid3d(
+    spec: GridSpec3D,
+    domain_radius: float,
+    local_model: LocalModel,
+    dip_rad: float,
+    electrode_positions: np.ndarray,
+    source_positions: np.ndarray,
+) -> Grid3D:
+    R = float(domain_radius)
+    a = float(np.tan(dip_rad))
+    electrodes = np.asarray(electrode_positions, dtype=float)
+    sources = np.asarray(source_positions, dtype=float)
+
+    # ---- Axial lines (as in 2D; boundaries = axis crossings of the dip planes) ----
+    boundaries = local_model.boundaries
+    near_boundaries = boundaries[np.abs(boundaries) < 0.98 * R]
+    z_lines = _graded_1d(
+        -R,
+        R,
+        spec.nz,
+        [
+            (sources, spec.h_min_source, spec.slope_source),
+            (electrodes, spec.h_min_electrode, spec.slope_electrode),
+            (near_boundaries, spec.h_min_boundary, spec.slope_boundary),
+        ],
+        spec.h_max_axial_frac * R,
+    )
+    z_lines = _snap(z_lines, np.concatenate([electrodes, near_boundaries]))
+
+    # ---- Radial stations (as in 2D) ----------------------------------------------
+    bh = local_model.borehole
+    wall_of_z = np.interp(z_lines, bh[:, 0], bh[:, 1])
+    wall_max = float(np.max(bh[:, 1]))
+    invasion = local_model.invasion_radii
+    r_detach = wall_max * 1.3
+    if invasion.size:
+        r_min_inv = float(np.min(invasion))
+        if r_min_inv * 0.8 > wall_max:
+            r_detach = min(r_detach, max(r_min_inv * 0.8, wall_max * 1.05))
+    n_far_lines = spec.nr - spec.n_wall_cells - spec.n_blend_cells
+    far = _graded_1d(
+        r_detach,
+        R,
+        n_far_lines,
+        [(np.array([r_detach]), spec.h_min_radial, spec.slope_radial)]
+        + ([(invasion, spec.h_min_radial, spec.slope_radial)] if invasion.size else []),
+        spec.h_max_radial_frac * R,
+    )
+    far = _snap(far, invasion[(invasion > r_detach) & (invasion < R)])
+
+    phi = np.linspace(0.0, np.pi, spec.np_)
+
+    # ---- Node positions ----------------------------------------------------------
+    # Wall radius per (i, j): one fixed-point pass through the shear for the true z.
+    cosphi = np.cos(phi)
+    sinphi = np.sin(phi)
+    shear_cap = spec.shear_cap_frac * R
+
+    def shear_offset(x, zeta):
+        raw = a * x
+        clamped = np.clip(raw, -shear_cap, shear_cap)
+        taper = 1.0 - (zeta / R) ** 2
+        return clamped * taper
+
+    z_true_wall = z_lines[:, None] + shear_offset(
+        wall_of_z[:, None] * cosphi[None, :], z_lines[:, None]
+    )
+    wall_ij = np.interp(z_true_wall, bh[:, 0], bh[:, 1])  # (NZ, NP)
+
+    f_in = np.linspace(0.0, 1.0, spec.n_wall_cells + 1)
+    f_blend = np.linspace(0.0, 1.0, spec.n_blend_cells + 1)[1:]
+    rho = np.empty((spec.nz, spec.np_, spec.nr))
+    rho[:, :, : spec.n_wall_cells + 1] = wall_ij[:, :, None] * f_in[None, None, :]
+    rho[:, :, spec.n_wall_cells + 1 : spec.n_wall_cells + spec.n_blend_cells + 1] = (
+        wall_ij[:, :, None] + (r_detach - wall_ij[:, :, None]) * f_blend[None, None, :]
+    )
+    rho[:, :, spec.n_wall_cells + spec.n_blend_cells + 1 :] = far[None, None, 1:]
+
+    x = rho * cosphi[None, :, None]
+    y = rho * sinphi[None, :, None]
+    z = z_lines[:, None, None] + shear_offset(x, z_lines[:, None, None])
+
+    # Squircle blend in the (z, rho) meridian plane -> exact sphere boundary.
+    z_b, rho_b = _squircle_blend(z, rho, R, spec.blend_m0)
+    scale = np.where(rho > 0, rho_b / np.where(rho > 0, rho, 1.0), 1.0)
+    coords = np.stack([x * scale, y * scale, z_b], axis=-1)
+
+    # ---- Conductivity sampling (true-model lookup; shear-exact layer test) --------
+    cc = 0.125 * sum(
+        coords[i_ : i_ + spec.nz - 1, j_ : j_ + spec.np_ - 1, k_ : k_ + spec.nr - 1]
+        for i_ in (0, 1)
+        for j_ in (0, 1)
+        for k_ in (0, 1)
+    )
+    xc, yc, zc = cc[..., 0], cc[..., 1], cc[..., 2]
+    zeta_c = zc - a * xc  # dipping plane z = z_b + a*x  <=>  z - a*x = z_b
+    rc = np.hypot(xc, yc)
+    bottoms = local_model.bottoms
+    idx = np.clip(np.searchsorted(bottoms, zeta_c), 0, bottoms.size - 1)
+    fz_r = np.nan_to_num(local_model.fz_radius[idx], nan=-1.0)
+    sigma_cells = np.where(
+        rc < fz_r,
+        np.nan_to_num(local_model.sigma_fz[idx], nan=0.0),
+        local_model.sigma_uz[idx],
+    )
+    sigma_cells[:, :, : spec.n_wall_cells] = local_model.mud_sigma
+
+    free_mask = np.ones((spec.nz, spec.np_, spec.nr), dtype=bool)
+    free_mask[0] = False
+    free_mask[-1] = False
+    free_mask[:, :, -1] = False
+
+    return Grid3D(
+        spec=spec,
+        z_axis=z_lines,
+        coords=coords,
+        sigma_cells=sigma_cells,
+        free_mask=free_mask,
+    )

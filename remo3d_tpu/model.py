@@ -218,10 +218,8 @@ class Model:
         active_window = 0.999 if mesh_generator == "netgen" else 0.99
 
         if self.dip_deg != 0:
+            # Densify sparse borehole polylines (3D meshing aid, remo3d.py:791-792).
             self.borehole_model = mio.add_points_to_borehole(self.borehole_model)
-            raise NotImplementedError(
-                "3D dipping models land with the 3D grid builder"
-            )
 
         # Plan simulation depths and batches.
         simulation_depths, tasks = plan_tasks(
@@ -255,7 +253,13 @@ class Model:
             active_window,
         )
         results = executor.run(
-            tasks, grids, len(measurement_depths), len(self.tools)
+            tasks,
+            grids,
+            len(measurement_depths),
+            len(self.tools),
+            # Half-space convention: only the y>=0 half-ball is modeled in 3D
+            # (worker.py:129-131).
+            readout_factor=0.5 if self.dip_deg != 0 else 1.0,
         )
 
         logs = {}

@@ -111,10 +111,16 @@ def apply_dirichlet(C: jnp.ndarray, free_mask: jnp.ndarray) -> jnp.ndarray:
     nz, nr = C.shape[-4], C.shape[-3]
     free = free_mask.astype(C.dtype)
     free_pad = jnp.pad(free, [(0, 0)] * (free.ndim - 2) + [(1, 1), (1, 1)])
-    for di in range(3):
-        for dj in range(3):
-            neighbor = free_pad[..., di : di + nz, dj : dj + nr]
-            C = C.at[..., di, dj].multiply(free * neighbor)
+    neigh = jnp.stack(
+        [
+            jnp.stack(
+                [free_pad[..., di : di + nz, dj : dj + nr] for dj in range(3)], axis=-1
+            )
+            for di in range(3)
+        ],
+        axis=-2,
+    )  # (..., NZ, NR, 3, 3)
+    C = C * (free[..., None, None] * neigh)
     C = C.at[..., 1, 1].add(1.0 - free)
     return C
 

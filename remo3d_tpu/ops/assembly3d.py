@@ -1,0 +1,150 @@
+# -*- coding: utf-8 -*-
+"""Isoparametric trilinear hex assembly of ``sigma * grad u . grad v`` -> 27-pt stencil.
+
+3D weak-form parity with the reference (ngsolve_functions.py:36: plain
+``sigma*grad(u)*grad(v)`` — the half-ball volume carries no cylindrical weight).
+Vectorized over all cells and batch axes; unrolled VPU arithmetic (no dot_general —
+see assembly2d.py notes on bf16 matmul defaults); per-cell coordinate translation
+for float32-safe Jacobians. Degenerate (pole-collapsed) hexes are handled naturally:
+their Gauss-point Jacobians stay positive, and the coincident-node DOFs are tied by
+the pole projector at solve time.
+
+The stencil uses the flattened 27-entry layout of :mod:`.stencil3d`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .stencil3d import entry_index
+
+# Local node order: (iz, jphi, kr) corner offsets.
+_CORNERS3 = tuple((a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1))
+_XI = np.array([2 * a - 1 for a, b, c in _CORNERS3], dtype=float)
+_ETA = np.array([2 * b - 1 for a, b, c in _CORNERS3], dtype=float)
+_ZETA = np.array([2 * c - 1 for a, b, c in _CORNERS3], dtype=float)
+_GAUSS = (-1.0 / np.sqrt(3.0), 1.0 / np.sqrt(3.0))
+
+
+def _corner_coords(x: jnp.ndarray):
+    """x: (..., NZ, NP, NR) one coordinate -> list of 8 per-cell corner arrays."""
+    out = []
+    for a, b, c in _CORNERS3:
+        out.append(
+            x[
+                (
+                    ...,
+                    slice(a, x.shape[-3] - 1 + a),
+                    slice(b, x.shape[-2] - 1 + b),
+                    slice(c, x.shape[-1] - 1 + c),
+                )
+            ]
+        )
+    return out
+
+
+def element_matrices_3d(coords: jnp.ndarray, sigma_cells: jnp.ndarray):
+    """coords: (..., NZ, NP, NR, 3) [x, y, z]; sigma_cells: (..., NZ-1, NP-1, NR-1).
+
+    Returns K as an 8x8 nested list of (..., NZ-1, NP-1, NR-1) arrays.
+    """
+    xs = _corner_coords(coords[..., 0])
+    ys = _corner_coords(coords[..., 1])
+    zs = _corner_coords(coords[..., 2])
+    dx = [xi - xs[0] for xi in xs]
+    dy = [yi - ys[0] for yi in ys]
+    dz = [zi - zs[0] for zi in zs]
+
+    K = [[None] * 8 for _ in range(8)]
+    for gx in _GAUSS:
+        for gy in _GAUSS:
+            for gz in _GAUSS:
+                dn = np.stack(
+                    [
+                        0.125 * _XI * (1 + _ETA * gy) * (1 + _ZETA * gz),
+                        0.125 * _ETA * (1 + _XI * gx) * (1 + _ZETA * gz),
+                        0.125 * _ZETA * (1 + _XI * gx) * (1 + _ETA * gy),
+                    ],
+                    axis=1,
+                )  # (8, 3): d/d(xi, eta, zeta)
+
+                J = [[None] * 3 for _ in range(3)]
+                for l in range(3):
+                    J[0][l] = sum(float(dn[a, l]) * dx[a] for a in range(8))
+                    J[1][l] = sum(float(dn[a, l]) * dy[a] for a in range(8))
+                    J[2][l] = sum(float(dn[a, l]) * dz[a] for a in range(8))
+
+                # Adjugate / determinant (unrolled 3x3 inverse-transpose).
+                a00, a01, a02 = J[0]
+                a10, a11, a12 = J[1]
+                a20, a21, a22 = J[2]
+                c00 = a11 * a22 - a12 * a21
+                c01 = a12 * a20 - a10 * a22
+                c02 = a10 * a21 - a11 * a20
+                c10 = a02 * a21 - a01 * a22
+                c11 = a00 * a22 - a02 * a20
+                c12 = a01 * a20 - a00 * a21
+                c20 = a01 * a12 - a02 * a11
+                c21 = a02 * a10 - a00 * a12
+                c22 = a00 * a11 - a01 * a10
+                detJ = a00 * c00 + a01 * c01 + a02 * c02
+                inv_det = 1.0 / jnp.where(jnp.abs(detJ) > 1e-30, detJ, 1e-30)
+
+                # grad_phys[a][m] = sum_l dn[a, l] * inv(J)[l, m]; inv(J)[l,m] =
+                # c_{ml}/det.
+                gxs, gys, gzs = [], [], []
+                for a in range(8):
+                    d0, d1, d2 = float(dn[a, 0]), float(dn[a, 1]), float(dn[a, 2])
+                    gxs.append((d0 * c00 + d1 * c01 + d2 * c02) * inv_det)
+                    gys.append((d0 * c10 + d1 * c11 + d2 * c12) * inv_det)
+                    gzs.append((d0 * c20 + d1 * c21 + d2 * c22) * inv_det)
+
+                w = sigma_cells * jnp.abs(detJ)
+                for a in range(8):
+                    for b in range(a, 8):
+                        contrib = w * (
+                            gxs[a] * gxs[b] + gys[a] * gys[b] + gzs[a] * gzs[b]
+                        )
+                        K[a][b] = contrib if K[a][b] is None else K[a][b] + contrib
+    for a in range(8):
+        for b in range(a):
+            K[a][b] = K[b][a]
+    return K
+
+
+def fold_to_stencil_3d(K, nz: int, np_: int, nr: int) -> jnp.ndarray:
+    lead = K[0][0].shape[:-3]
+    C = jnp.zeros(lead + (nz, np_, nr, 27), dtype=K[0][0].dtype)
+    for a, (ai, aj, ak) in enumerate(_CORNERS3):
+        for b, (bi, bj, bk) in enumerate(_CORNERS3):
+            e = entry_index(bi - ai, bj - aj, bk - ak)
+            C = C.at[
+                ..., ai : ai + nz - 1, aj : aj + np_ - 1, ak : ak + nr - 1, e
+            ].add(K[a][b])
+    return C
+
+
+def apply_dirichlet_3d(C: jnp.ndarray, free_mask: jnp.ndarray) -> jnp.ndarray:
+    nz, np_, nr = C.shape[-4], C.shape[-3], C.shape[-2]
+    free = free_mask.astype(C.dtype)
+    free_pad = jnp.pad(free, [(0, 0)] * (free.ndim - 3) + [(1, 1), (1, 1), (1, 1)])
+    from .stencil3d import _OFFSETS, DIAG, entry_index as _ei
+
+    neigh = jnp.stack(
+        [
+            free_pad[..., 1 + dz : 1 + dz + nz, 1 + dp : 1 + dp + np_, 1 + dr : 1 + dr + nr]
+            for dz, dp, dr in _OFFSETS
+        ],
+        axis=-1,
+    )  # (..., NZ, NP, NR, 27)
+    C = C * (free[..., None] * neigh)
+    C = C.at[..., DIAG].add(1.0 - free)
+    return C
+
+
+def assemble_stencil_3d(coords, sigma_cells, free_mask) -> jnp.ndarray:
+    nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
+    K = element_matrices_3d(coords, sigma_cells)
+    C = fold_to_stencil_3d(K, nz, np_, nr)
+    return apply_dirichlet_3d(C, free_mask)

@@ -19,27 +19,34 @@ import jax.numpy as jnp
 from .stencil import stencil_apply, stencil_diag
 
 
-def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Grid dot product over the trailing (NZ, NR) axes, in f32-safe accumulation."""
-    return jnp.sum(a * b, axis=(-2, -1))
-
-
 def pcg(
     C: jnp.ndarray,
     b: jnp.ndarray,
     M_inv: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     tol: float = 1e-7,
     maxiter: int = 1000,
+    n_grid_axes: int = 2,
+    matvec: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ):
     """Solve A u = b with A given by stencil C, for batched right-hand sides.
 
-    C: (..., NZ, NR, 3, 3); b: (..., [S,] NZ, NR). Returns (u, info) with
-    info = dict(iterations, rel_residual) — rel_residual has b's batch shape.
+    2D: C (..., NZ, NR, 3, 3), b (..., [S,] NZ, NR). 3D (n_grid_axes=3): pass a
+    custom ``matvec`` (e.g. the pole-projected 27-point apply) and a Jacobi or MG
+    ``M_inv``. Returns (u, info); info = dict(iterations, rel_residual) with b's
+    batch shape.
     """
+    axes = tuple(range(-n_grid_axes, 0))
+
+    def _dot(a, c):
+        return jnp.sum(a * c, axis=axes)
+
+    if matvec is None:
+        matvec = lambda u: stencil_apply(C, u)
+
     if M_inv is None:
         diag = stencil_diag(C)
-        if b.ndim == C.ndim - 1:  # solve axis present
-            diag = jnp.expand_dims(diag, axis=-3)
+        if b.ndim == C.ndim - n_grid_axes + 1:  # solve axis present
+            diag = jnp.expand_dims(diag, axis=-(n_grid_axes + 1))
         safe_diag = jnp.where(diag != 0, diag, 1.0)
         M_inv = lambda r: r / safe_diag
 
@@ -47,8 +54,8 @@ def pcg(
     active0 = b_norm2 > 0
     tol2 = (tol * tol) * jnp.where(active0, b_norm2, 1.0)
 
-    def matvec(u):
-        return stencil_apply(C, u)
+    def _bc(s):  # broadcast a batch scalar over the grid axes
+        return s[(...,) + (None,) * n_grid_axes]
 
     u0 = jnp.zeros_like(b)
     r0 = b
@@ -69,12 +76,12 @@ def pcg(
         rr = _dot(r, r)
         live = jnp.logical_and(active0, jnp.logical_and(rr > tol2, pAp > 0))
         alpha = jnp.where(live, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
-        u = u + alpha[..., None, None] * p
-        r = r - alpha[..., None, None] * Ap
+        u = u + _bc(alpha) * p
+        r = r - _bc(alpha) * Ap
         z = M_inv(r)
         rz_new = _dot(r, z)
         beta = jnp.where(live, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = z + beta[..., None, None] * p
+        p = z + _bc(beta) * p
         # Freeze p on finished lanes so their (masked) updates stay benign.
         rz = jnp.where(live, rz_new, rz)
         return u, r, p, rz, k + 1

@@ -4,22 +4,77 @@
 The boundary-fitted grids have cell aspect ratios up to ~10^3 (thin radial stations
 along multi-meter axial cells), which defeats point smoothers. Line relaxation
 solves the strong-coupling direction exactly: for each grid line, the tridiagonal
-part of the stencil along that line. Implemented as a Thomas algorithm under
-``lax.scan``, vectorized over every other axis — the scan is the only sequential
-dimension, everything else rides the VPU.
+part of the stencil along that line.
+
+Implementation: PARALLEL CYCLIC REDUCTION (PCR) — ceil(log2(n)) fully vectorized
+elimination steps of shifted multiply-adds, no sequential scan. On TPU this is both
+much faster than a Thomas `lax.scan` (193 sequential steps -> 8 vector steps) and
+avoids an axon-runtime instability observed with long scans. A scan-based Thomas
+solver is kept for cross-checking in tests.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
 
 
-def _thomas(dl, d, du, b):
-    """Tridiagonal solve along axis 0, batched over remaining axes.
+def _shift(x, s: int, axis: int, fill: float):
+    """x[i - s] along ``axis`` (s may be negative), padding with ``fill``."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if s >= 0:
+        pad[axis] = (s, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -s)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(-s, n - s)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
-    dl[0] and du[-1] are ignored. All inputs shape (m, ...).
+
+def pcr_solve(dl, d, du, b, axis: int = 0, max_steps: int | None = None):
+    """Solve tridiagonal systems along ``axis`` by parallel cyclic reduction.
+
+    dl[i] = A[i, i-1] (dl[0] ignored), d[i] = A[i, i], du[i] = A[i, i+1]
+    (du[-1] ignored). Batched over every other axis. ``max_steps`` truncates the
+    reduction (approximate solve within a 2^max_steps window — plenty as a
+    multigrid smoother, and much cheaper on long axes).
     """
+    n = d.shape[axis]
+    a = dl
+    c = du
+    x = b
+    steps = max(1, math.ceil(math.log2(max(n, 2))))
+    if max_steps is not None:
+        steps = min(steps, max_steps)
+    s = 1
+    for _ in range(steps):
+        # Virtual out-of-range rows are identity: a=c=0, b(diag)=1, rhs=0.
+        a_m = _shift(a, s, axis, 0.0)
+        d_m = _shift(d, s, axis, 1.0)
+        c_m = _shift(c, s, axis, 0.0)
+        x_m = _shift(x, s, axis, 0.0)
+        a_p = _shift(a, -s, axis, 0.0)
+        d_p = _shift(d, -s, axis, 1.0)
+        c_p = _shift(c, -s, axis, 0.0)
+        x_p = _shift(x, -s, axis, 0.0)
+
+        alpha = -a / jnp.where(d_m != 0, d_m, 1.0)
+        beta = -c / jnp.where(d_p != 0, d_p, 1.0)
+        a = alpha * a_m
+        c = beta * c_p
+        d = d + alpha * c_m + beta * a_p
+        x = x + alpha * x_m + beta * x_p
+        s *= 2
+    return x / jnp.where(d != 0, d, 1.0)
+
+
+def _thomas(dl, d, du, b):
+    """Sequential Thomas along axis 0 (scan-based; kept for test cross-checks)."""
     eps = jnp.asarray(1e-30, dtype=d.dtype)
 
     def fwd(carry, inp):
@@ -54,14 +109,7 @@ def line_solve_r(C, b):
     dl = jnp.broadcast_to(Cb[..., 1, 0], b.shape)
     d = jnp.broadcast_to(Cb[..., 1, 1], b.shape)
     du = jnp.broadcast_to(Cb[..., 1, 2], b.shape)
-    # Move the radial axis to the front for the scan.
-    x = _thomas(
-        jnp.moveaxis(dl, -1, 0),
-        jnp.moveaxis(d, -1, 0),
-        jnp.moveaxis(du, -1, 0),
-        jnp.moveaxis(b, -1, 0),
-    )
-    return jnp.moveaxis(x, 0, -1)
+    return pcr_solve(dl, d, du, b, axis=-1)
 
 
 def line_solve_z(C, b):
@@ -71,10 +119,4 @@ def line_solve_z(C, b):
     dl = jnp.broadcast_to(Cb[..., 0, 1], b.shape)
     d = jnp.broadcast_to(Cb[..., 1, 1], b.shape)
     du = jnp.broadcast_to(Cb[..., 2, 1], b.shape)
-    x = _thomas(
-        jnp.moveaxis(dl, -2, 0),
-        jnp.moveaxis(d, -2, 0),
-        jnp.moveaxis(du, -2, 0),
-        jnp.moveaxis(b, -2, 0),
-    )
-    return jnp.moveaxis(x, 0, -2)
+    return pcr_solve(dl, d, du, b, axis=-2)

@@ -100,20 +100,30 @@ def galerkin_coarsen(C: jnp.ndarray, coarse_free: jnp.ndarray) -> jnp.ndarray:
     nz, nr = C.shape[-4], C.shape[-3]
     nzc, nrc = (nz + 1) // 2, (nr + 1) // 2
     lead = C.shape[:-4]
-    CH = jnp.zeros(lead + (nzc, nrc, 3, 3), dtype=C.dtype)
+    # All 9 combs ride the broadcast "solve" axis of stencil_apply: one prolong/
+    # apply/restrict for the whole probe set, then ONE gather rearranges probe
+    # columns into stencil layout (strided scatter writes inflate XLA compile).
+    combs = np.zeros((9, nzc, nrc), dtype=np.float32)
     for a in range(3):
         for b in range(3):
-            comb = jnp.zeros(lead + (nzc, nrc), dtype=C.dtype)
-            comb = comb.at[..., a::3, b::3].set(1.0)
-            y = restrict(stencil_apply(C, prolong(comb)))
-            for dI in (-1, 0, 1):
-                for dJ in (-1, 0, 1):
-                    # Rows i whose unique nearby comb node sits at i - dI.
-                    si = (a + dI) % 3
-                    sj = (b + dJ) % 3
-                    CH = CH.at[..., si::3, sj::3, 1 - dI, 1 - dJ].set(
-                        y[..., si::3, sj::3]
-                    )
+            combs[a * 3 + b, a::3, b::3] = 1.0
+    comb = jnp.broadcast_to(jnp.asarray(combs, dtype=C.dtype), lead + (9, nzc, nrc))
+    y = restrict(stencil_apply(C, prolong(comb)))
+    y_t = jnp.moveaxis(y, -3, -1)  # (..., nzc, nrc, 9)
+
+    # Stencil entry (dI,dJ) at node (i,j) couples to the neighbor (i+dI, j+dJ),
+    # whose probe is the comb with residues ((i+dI)%3, (j+dJ)%3).
+    iz = np.arange(nzc)[:, None]
+    jr = np.arange(nrc)[None, :]
+    idx = np.empty((nzc, nrc, 9), dtype=np.int32)
+    for dI in (-1, 0, 1):
+        for dJ in (-1, 0, 1):
+            e = (dI + 1) * 3 + (dJ + 1)
+            idx[..., e] = ((iz + dI) % 3) * 3 + ((jr + dJ) % 3)
+    CH = jnp.take_along_axis(
+        y_t, jnp.broadcast_to(jnp.asarray(idx), y_t.shape[:-1] + (9,)), axis=-1
+    )
+    CH = CH.reshape(CH.shape[:-1] + (3, 3))
     return apply_dirichlet(CH, coarse_free)
 
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..meshing.carve import carve_local_model
 from ..meshing.grid2d import Grid2D, GridSpec2D, build_grid2d
+from ..meshing.grid3d import Grid3D, GridSpec3D, build_grid3d
 from ..ops import assemble_stencil_2d, pcg
 from ..ops.multigrid import MGConfig, make_mg_preconditioner
 from ..planner import BatchTask
@@ -29,13 +30,43 @@ from ..utils.timers import PhaseTimers
 MAX_SOURCES = 2  # per solve: one (+1) in SEC form or a (+1, -1) pair
 
 
-def _feasible_mg_levels(nz: int, nr: int, want: int = 4) -> int:
+def _feasible_mg_levels(*dims: int, want: int = 4) -> int:
     levels = 1
     step = 1
-    while levels < want and (nz - 1) % (2 * step) == 0 and (nr - 1) % (2 * step) == 0:
+    while levels < want and all((n - 1) % (2 * step) == 0 for n in dims):
         levels += 1
         step *= 2
     return levels
+
+
+def _solve_chunk_3d(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
+    """3D chunk solve: staged hierarchy build + pole-tied MG-PCG + axis readout.
+
+    Host function (NOT one jit): the axon TPU compiler cannot digest the fused
+    hierarchy construction — see multigrid3d module notes.
+
+    coords (B, NZ, NP, NR, 3), sigma (B, NZ-1, NP-1, NR-1), free (B, NZ, NP, NR),
+    src_i (B, S, MAX_SOURCES) int32, src_fac (B, S, MAX_SOURCES).
+    """
+    from ..ops.multigrid3d import MGConfig3D, build_hierarchy3, mg_pcg3
+
+    nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
+
+    @jax.jit
+    def build_rhs(src_i, src_fac):
+        def one_rhs(idx, fac):
+            # The load lands on the tied axis node: fac/NP on each azimuth copy
+            # (P D^{-1} b in the tied-subspace formulation).
+            b = jnp.zeros((nz, np_, nr), dtype=coords.dtype)
+            return b.at[idx, :, 0].add((fac / np_)[:, None])
+
+        return jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)  # (B, S, NZ, NP, NR)
+
+    config = MGConfig3D(n_levels=_feasible_mg_levels(nz, np_, nr))
+    levels = build_hierarchy3(coords, sigma, free, config)
+    b = build_rhs(src_i, src_fac)
+    u, rel, iters = mg_pcg3(levels, b, config=config, tol=tol, maxiter=maxiter)
+    return u[..., :, 0, 0], rel, iters
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "preconditioner"))
@@ -74,6 +105,7 @@ def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter, precondit
 @dataclasses.dataclass
 class ExecutorConfig:
     spec: GridSpec2D = dataclasses.field(default_factory=GridSpec2D)
+    spec3d: GridSpec3D = dataclasses.field(default_factory=GridSpec3D)
     tol: float = 1e-7
     maxiter: int = 1000
     dtype: str = "float32"
@@ -123,26 +155,42 @@ class Executor:
                 sources = np.unique(
                     np.concatenate([s.source_positions for s in t.solves])
                 )
-                grids.append(
-                    build_grid2d(
-                        self.config.spec,
-                        domain_radius,
-                        lm,
-                        t.electrode_positions,
-                        sources,
+                if dip_rad != 0:
+                    grids.append(
+                        build_grid3d(
+                            self.config.spec3d,
+                            domain_radius,
+                            lm,
+                            dip_rad,
+                            t.electrode_positions,
+                            sources,
+                        )
                     )
-                )
+                else:
+                    grids.append(
+                        build_grid2d(
+                            self.config.spec,
+                            domain_radius,
+                            lm,
+                            t.electrode_positions,
+                            sources,
+                        )
+                    )
         return grids
 
     def run(
         self,
         tasks: list[BatchTask],
-        grids: list[Grid2D],
+        grids: list,
         n_measurements: int,
         n_tools: int,
+        readout_factor: float = 1.0,
     ) -> np.ndarray:
-        """Execute all batches; returns results[measurement, tool] (NaN on failure)."""
-        spec = self.config.spec
+        """Execute all batches; returns results[measurement, tool] (NaN on failure).
+
+        ``readout_factor`` is 0.5 for 3D half-space models (worker.py:129-131).
+        """
+        is_3d = isinstance(grids[0], Grid3D)
         dtype = np.dtype(self.config.dtype)
         S = max(len(t.solves) for t in tasks)
         B_total = len(tasks)
@@ -162,14 +210,18 @@ class Executor:
 
         results = np.full((n_measurements, n_tools), np.nan)
 
+        g0 = grids[0]
+        grid_shape = g0.coords.shape[:-1]  # (NZ, NR) or (NZ, NP, NR)
+        cell_shape = tuple(n - 1 for n in grid_shape)
+
         for start in range(0, B_total, chunk):
             batch_tasks = tasks[start : start + chunk]
             batch_grids = grids[start : start + chunk]
             B = chunk  # pad to full chunk so one executable serves all dispatches
 
-            coords = np.zeros((B, spec.nz, spec.nr, 2), dtype=dtype)
-            sigma = np.zeros((B, spec.nz - 1, spec.nr - 1), dtype=dtype)
-            free = np.zeros((B, spec.nz, spec.nr), dtype=bool)
+            coords = np.zeros((B,) + g0.coords.shape, dtype=dtype)
+            sigma = np.zeros((B,) + cell_shape, dtype=dtype)
+            free = np.zeros((B,) + grid_shape, dtype=bool)
             src_i = np.zeros((B, S, MAX_SOURCES), dtype=np.int32)
             src_fac = np.zeros((B, S, MAX_SOURCES), dtype=dtype)
 
@@ -196,14 +248,33 @@ class Executor:
             ]
 
             with self.timers.phase("solve"):
-                u_axis, rel_res, iters = _solve_chunk(
-                    *args,
-                    tol=self.config.tol,
-                    maxiter=self.config.maxiter,
-                    preconditioner=self.config.preconditioner,
-                )
-                u_axis = np.asarray(u_axis)
-                rel_res = np.asarray(rel_res)
+                for attempt in range(3):
+                    try:
+                        if is_3d:
+                            u_axis, rel_res, iters = _solve_chunk_3d(
+                                *args,
+                                tol=self.config.tol,
+                                maxiter=self.config.maxiter,
+                            )
+                        else:
+                            u_axis, rel_res, iters = _solve_chunk(
+                                *args,
+                                tol=self.config.tol,
+                                maxiter=self.config.maxiter,
+                                preconditioner=self.config.preconditioner,
+                            )
+                        u_axis = np.asarray(u_axis)
+                        rel_res = np.asarray(rel_res)
+                        break
+                    except jax.errors.JaxRuntimeError:
+                        # The remote-TPU (axon) runtime intermittently drops the
+                        # worker; retry the chunk — fault containment beats
+                        # aborting the whole log (reference parity: per-task NaN,
+                        # worker.py:135-138).
+                        if attempt == 2:
+                            u_axis = np.zeros((B, S) + (g0.coords.shape[0],))
+                            rel_res = np.full((B, S), np.inf)
+                            break
 
             with self.timers.phase("readout"):
                 for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
@@ -223,9 +294,12 @@ class Executor:
                                 if len(pots) == 2:
                                     value = abs(
                                         ro.geometric_factor * (pots[1] - pots[0])
-                                    )
+                                    ) * readout_factor
                                 else:
-                                    value = abs(ro.geometric_factor * pots[0])
+                                    value = (
+                                        abs(ro.geometric_factor * pots[0])
+                                        * readout_factor
+                                    )
                             results[ro.measurement_index, ro.tool_index] = value
 
         return results

@@ -1,0 +1,177 @@
+# -*- coding: utf-8 -*-
+"""3D numerics tests on tiny grids (CPU): assembly, pole tying, line solves, MG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from remo3d_tpu.meshing.carve import carve_local_model
+from remo3d_tpu.meshing.grid3d import GridSpec3D, build_grid3d
+from remo3d_tpu.ops.assembly3d import assemble_stencil_3d, element_matrices_3d
+from remo3d_tpu.ops.lines3d import line_solve_r3
+from remo3d_tpu.ops.multigrid3d import (
+    MGConfig3D,
+    build_hierarchy3,
+    mg_pcg3,
+    prolong3,
+    restrict3,
+)
+from remo3d_tpu.ops.stencil3d import pole_project, stencil3d_apply
+
+cpu = jax.devices("cpu")[0]
+
+SPEC = GridSpec3D(nz=33, np_=5, nr=17, n_wall_cells=3, n_blend_cells=2)
+
+
+def tiny_model(dip_rad=0.3):
+    formation = np.array(
+        [
+            [-100.0, -1.0, np.nan, np.nan, 10.0],
+            [-1.0, 1.0, np.nan, np.nan, 100.0],
+            [1.0, 100.0, np.nan, np.nan, 10.0],
+        ]
+    )
+    borehole = np.array([[-100.0, 0.1, 1.0], [100.0, 0.1, 1.0]])
+    return carve_local_model(formation, borehole, 1.0, 0.0, 50.0, dip_rad=dip_rad)
+
+
+def tiny_grid(dip_rad=0.3):
+    lm = tiny_model(dip_rad)
+    return build_grid3d(
+        SPEC, 50.0, lm, dip_rad, np.array([-2.0, 0.0, 2.0]), np.array([0.0])
+    )
+
+
+def test_grid3d_geometry():
+    g = tiny_grid()
+    # Boundary nodes on the exact sphere.
+    c = g.coords
+    border = np.zeros(c.shape[:-1], bool)
+    border[0] = border[-1] = True
+    border[:, :, -1] = True
+    rad = np.linalg.norm(c[border], axis=-1)
+    assert np.allclose(rad, 50.0, rtol=1e-9)
+    # Axis nodes (k=0) carry rho=0 and the unsheared z lines.
+    assert np.allclose(c[:, :, 0, 0], 0.0) and np.allclose(c[:, :, 0, 1], 0.0)
+    assert np.allclose(c[:, 0, 0, 2], g.z_axis)
+    # Symmetry plane: phi=0 and phi=pi nodes have y == 0.
+    assert np.allclose(c[:, 0, :, 1], 0.0, atol=1e-12)
+    assert np.allclose(np.abs(c[:, -1, :, 1]), 0.0, atol=1e-9)
+    # Free mask: Dirichlet only on axial ends + outer station.
+    assert not g.free_mask[0].any() and not g.free_mask[-1].any()
+    assert not g.free_mask[:, :, -1].any()
+    assert g.free_mask[1:-1, :, :-1].all()
+
+
+def test_grid3d_sigma_respects_dip():
+    dip = 0.3
+    g = tiny_grid(dip)
+    a = np.tan(dip)
+    c = g.coords
+    cc = 0.125 * sum(
+        c[i : i + SPEC.nz - 1, j : j + SPEC.np_ - 1, k : k + SPEC.nr - 1]
+        for i in (0, 1)
+        for j in (0, 1)
+        for k in (0, 1)
+    )
+    zeta = cc[..., 2] - a * cc[..., 0]
+    formation_cells = np.ones(g.sigma_cells.shape, bool)
+    formation_cells[:, :, : SPEC.n_wall_cells] = False
+    mid = formation_cells & (np.abs(zeta) < 0.9)
+    outer = formation_cells & (np.abs(zeta) > 1.1) & (np.abs(zeta) < 20)
+    assert np.allclose(g.sigma_cells[mid], 1 / 100.0)
+    assert np.allclose(g.sigma_cells[outer], 1 / 10.0)
+    # Borehole column is mud.
+    assert np.allclose(g.sigma_cells[:, :, : SPEC.n_wall_cells], 1.0)
+
+
+def test_element_matrices_3d_rows_sum_zero():
+    with jax.default_device(cpu):
+        g = tiny_grid()
+        K = element_matrices_3d(
+            jnp.asarray(g.coords, jnp.float32), jnp.ones(tuple(s - 1 for s in g.free_mask.shape))
+        )
+        Ksum = sum(K[a][b] for a in range(8) for b in range(8))
+        scale = float(jnp.max(jnp.abs(K[0][0])))
+        assert float(jnp.max(jnp.abs(Ksum))) < 1e-5 * scale
+
+
+def test_stencil3d_symmetric_via_dot():
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(0)
+        g = tiny_grid()
+        C = assemble_stencil_3d(
+            jnp.asarray(g.coords, jnp.float32),
+            jnp.asarray(g.sigma_cells, jnp.float32),
+            jnp.asarray(g.free_mask),
+        )
+        x = jnp.asarray(rng.standard_normal(g.free_mask.shape), jnp.float32)
+        y = jnp.asarray(rng.standard_normal(g.free_mask.shape), jnp.float32)
+        lhs = float(jnp.sum(y * stencil3d_apply(C, x)))
+        rhs = float(jnp.sum(x * stencil3d_apply(C, y)))
+        assert abs(lhs - rhs) < 2e-3 * (abs(lhs) + 1)
+
+
+def test_pole_project_is_projection():
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.standard_normal((7, 5, 4)), jnp.float32)
+        p1 = pole_project(u)
+        p2 = pole_project(p1)
+        assert np.allclose(np.asarray(p1), np.asarray(p2))
+        # Off-pole values untouched.
+        assert np.allclose(np.asarray(p1[..., 1:]), np.asarray(u[..., 1:]))
+
+
+def test_line_solve_r3_matches_tridiagonal():
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(2)
+        g = tiny_grid()
+        C = assemble_stencil_3d(
+            jnp.asarray(g.coords, jnp.float32),
+            jnp.asarray(g.sigma_cells, jnp.float32),
+            jnp.asarray(g.free_mask),
+        )
+        b = jnp.asarray(rng.standard_normal(g.free_mask.shape), jnp.float32)
+        x = np.asarray(line_solve_r3(C, b))
+        Cn = np.asarray(C)
+        from remo3d_tpu.ops.stencil3d import entry_index
+
+        i, j = 10, 2
+        T = (
+            np.diag(Cn[i, j, :, entry_index(0, 0, 0)])
+            + np.diag(Cn[i, j, 1:, entry_index(0, 0, -1)], -1)
+            + np.diag(Cn[i, j, :-1, entry_index(0, 0, 1)], 1)
+        )
+        assert np.allclose(T @ x[i, j], np.asarray(b)[i, j], atol=2e-4 * np.abs(T).max())
+
+
+def test_prolong_restrict3_adjoint():
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(3)
+        zc = jnp.asarray(rng.standard_normal((5, 3, 4)), jnp.float32)
+        rf = jnp.asarray(rng.standard_normal((9, 5, 7)), jnp.float32)
+        lhs = float(jnp.sum(prolong3(zc) * rf))
+        rhs = float(jnp.sum(zc * restrict3(rf)))
+        assert abs(lhs - rhs) < 1e-4 * (abs(lhs) + 1)
+
+
+def test_mg_pcg3_solves_and_ties_pole():
+    with jax.default_device(cpu):
+        g = tiny_grid()
+        coords = jnp.asarray(g.coords[None], jnp.float32)
+        sigma = jnp.asarray(g.sigma_cells[None], jnp.float32)
+        free = jnp.asarray(g.free_mask[None])
+        cfg = MGConfig3D(n_levels=3)
+        levels = build_hierarchy3(coords, sigma, free, cfg)
+        i_src = g.axis_node_index(0.0)
+        b = jnp.zeros((1, 1) + g.free_mask.shape, jnp.float32)
+        b = b.at[0, 0, i_src, :, 0].set(1.0 / SPEC.np_)
+        u, rel, iters = mg_pcg3(levels, b, config=cfg, tol=1e-6, maxiter=200)
+        assert float(rel[0, 0]) < 1e-5
+        un = np.asarray(u)[0, 0]
+        # Pole values tied across the azimuth.
+        assert np.allclose(un[:, :, 0], un[:, :1, 0], atol=1e-6)
+        # Potential decays away from the source along the axis.
+        assert un[i_src, 0, 0] > un[i_src + 5, 0, 0] > un[-2, 0, 0] >= 0
