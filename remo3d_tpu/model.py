@@ -177,8 +177,10 @@ class Model:
         preconditioner="multigrid",
         condense=True,
         tol=3e-7,
+        maxiter=1000,
         dtype="float32",
         grid_spec: GridSpec2D | None = None,
+        grid_spec3d=None,
         platform=None,
         verbose=True,
     ):
@@ -233,12 +235,17 @@ class Model:
         )
 
         spec = grid_spec or _GRID_PRESETS.get(mesh_generator, GridSpec2D())
+        config_kwargs = {}
+        if grid_spec3d is not None:
+            config_kwargs["spec3d"] = grid_spec3d
         config = ExecutorConfig(
             spec=spec,
             tol=tol,
+            maxiter=maxiter,
             dtype=dtype,
             preconditioner=preconditioner,
             platform=platform,
+            **config_kwargs,
         )
         executor = Executor(config)  # compiled programs are cached process-wide
         self._executor = executor

@@ -1,0 +1,134 @@
+# -*- coding: utf-8 -*-
+"""Model API integration tests (CPU, small grids): 2D and 3D end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from remo3d_tpu import Model
+from remo3d_tpu.meshing.grid2d import GridSpec2D
+from remo3d_tpu.meshing.grid3d import GridSpec3D
+
+from .conftest import reference_path
+
+# Small grid + Jacobi ("local") preconditioner keep CPU compile times test-friendly;
+# the multigrid path has its own dedicated tests in test_ops / test_ops3d.
+SMALL_2D = GridSpec2D(nz=193, nr=41, n_wall_cells=6, n_blend_cells=3)
+
+
+def uniform_models(rho=7.0, rad=0.118):
+    formation = np.array([[-100.0, 100.0, np.nan, np.nan, rho]])
+    borehole = np.array([[-100.0, rad, rho], [100.0, rad, rho]])
+    return formation, borehole
+
+
+def test_uniform_medium_2d_apparent_resistivity():
+    # In a uniform medium the apparent resistivity equals the true resistivity for
+    # every tool type (the defining property of the geometric factor K).
+    rho = 7.0
+    formation, borehole = uniform_models(rho)
+    m = Model(["A2.0M0.5N", "B5.7A0.4M"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m.initialize_workers(cpu_workers=1)
+    m.simulate_logs(
+        np.array([0.0, 0.1]),
+        grid_spec=SMALL_2D,
+        platform="cpu",
+        preconditioner="local",
+        maxiter=20000,
+        verbose=False,
+        tol=1e-6,
+    )
+    for name, log in m.logs.items():
+        assert np.all(np.isfinite(log[:, 1])), name
+        assert np.allclose(log[:, 1], rho, rtol=0.02), (name, log[:, 1])
+
+
+def test_uniform_medium_3d_matches_true_resistivity():
+    rho = 5.0
+    formation, borehole = uniform_models(rho)
+    m = Model(["A1.0M0.2N"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius", dip=30)
+    m.initialize_workers(cpu_workers=1)
+    m.simulate_logs(
+        np.array([0.0]),
+        batch_size=1,
+        grid_spec3d=GridSpec3D(nz=65, np_=9, nr=25, n_wall_cells=4, n_blend_cells=2),
+        platform="cpu",
+        verbose=False,
+        tol=1e-6,
+    )
+    val = m.logs["A1.0M0.2N"][0, 1]
+    assert np.isfinite(val)
+    # Coarse grid: expect the right value within a few percent.
+    assert abs(val - rho) / rho < 0.06, val
+
+
+def test_non_sec_two_current_tool_runs():
+    rho = 3.0
+    formation, borehole = uniform_models(rho)
+    m = Model(["B5.7A0.4M"], force_single_electrode_configuration=False)
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m.initialize_workers(cpu_workers=1)
+    m.simulate_logs(
+        np.array([0.0]),
+        batch_size=1,
+        grid_spec=SMALL_2D,
+        platform="cpu",
+        preconditioner="local",
+        maxiter=20000,
+        verbose=False,
+    )
+    val = m.logs["B5.7A0.4M"][0, 1]
+    assert abs(val - rho) / rho < 0.03, val
+
+
+def test_save_results_writes_reference_format(tmp_path):
+    formation, borehole = uniform_models(4.0)
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m.initialize_workers(cpu_workers=1)
+    m.simulate_logs(
+        np.array([0.0, 0.1, 0.2]),
+        grid_spec=SMALL_2D,
+        platform="cpu",
+        preconditioner="local",
+        maxiter=20000,
+        verbose=False,
+    )
+    folder = m.save_results(output_folder=str(tmp_path))
+    files = sorted(os.listdir(folder))
+    assert "Results_1.txt" in files and "Results_plot.png" in files
+    lines = open(os.path.join(folder, "Results_1.txt")).read().splitlines()
+    assert lines[0] == "DEPTH\tA2.0M0.5N"
+    assert lines[1] == "M\tOHMM"
+    assert len(lines) == 5
+    first = lines[2].split("\t")
+    assert first[0] == "0.0000"
+
+
+def test_validation_errors_match_reference():
+    m = Model(["A2.0M0.5N"])
+    with pytest.raises(ValueError):
+        m.initialize_workers(cpu_workers=0)
+    with pytest.raises(ValueError):
+        m.initialize_workers(cpu_workers="four")
+    formation, borehole = uniform_models()
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m.initialize_workers(cpu_workers=1)
+    # Electrode outside the domain radius.
+    with pytest.raises(ValueError):
+        m.simulate_logs(np.array([0.0]), domain_radius=2, verbose=False, platform="cpu")
+
+
+def test_example01_files_load_and_plan():
+    base = reference_path("Examples", "Example_01")
+    tools = ["B5.7A0.4M", "A2.0M0.5N"]
+    m = Model(tools)
+    m.set_model_parameters(
+        os.path.join(base, "Input", "Formation.txt"),
+        os.path.join(base, "Input", "Borehole.txt"),
+    )
+    assert m.formation_model.shape == (7, 5)
+    assert m.sec is True
