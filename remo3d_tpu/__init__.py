@@ -12,8 +12,22 @@ Public API parity: ``Model`` mirrors the reference package's single exported cla
 
 __version__ = "0.1.0"
 
-try:  # model.py lands after the numerics foundation
-    from .model import Model  # noqa: F401
-    __all__ = ["Model"]
-except ImportError:  # pragma: no cover - during bootstrap only
-    __all__ = []
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the solve programs are large (multigrid
+# V-cycles inside CG loops) and compile in minutes on the TPU toolchain; caching
+# them across processes turns every later run into a pure-execute run.
+_cache_dir = _os.environ.get(
+    "REMO3D_TPU_CACHE", _os.path.join(_os.path.expanduser("~"), ".cache", "remo3d_tpu_xla")
+)
+try:  # pragma: no cover - depends on jax build
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+from .model import Model  # noqa: F401,E402
+
+__all__ = ["Model"]

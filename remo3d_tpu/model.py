@@ -31,8 +31,8 @@ conversion_table = mio.CONVERSION_TABLE
 # Mesh-density presets: the `mesh_generator` knob of the reference selects between
 # netgen and gmsh; here it selects the grid preset (both produce the same physics).
 _GRID_PRESETS = {
-    "netgen": GridSpec2D(nz=601, nr=97),
-    "gmsh": GridSpec2D(nz=601, nr=97),
+    "netgen": GridSpec2D(),
+    "gmsh": GridSpec2D(),
 }
 
 

@@ -133,3 +133,84 @@ def assemble_stencil_2d(
     K = element_matrices_2d(coords, sigma_cells)
     C = fold_to_stencil(K, nz, nr)
     return apply_dirichlet(C, free_mask)
+
+
+def fundamental_potential_2d(coords, sigma0, src_z, src_fac, d_min=1e-4):
+    """u_s at the grid nodes: sum of full-space point-source fields.
+
+    coords (B, NZ, NR, 2) [(z, r)]; sigma0 (B,) conductivity at the sources (mud);
+    src_z (B, S, K) source depths; src_fac (B, S, K) strengths (0 = unused slot).
+    Returns (B, S, NZ, NR).
+    """
+    z = coords[..., 0][:, None, :, :]  # (B, 1, NZ, NR)
+    r = coords[..., 1][:, None, :, :]
+    u = 0.0
+    for k in range(src_z.shape[-1]):
+        zs = src_z[..., k][..., None, None]
+        fac = src_fac[..., k][..., None, None]
+        d = jnp.sqrt((z - zs) ** 2 + r**2)
+        u = u + fac / (4.0 * jnp.pi * jnp.maximum(d, d_min))
+    return u / sigma0[:, None, None, None]
+
+
+def singularity_rhs_2d(coords, sigma_cells, sigma0, src_z, src_fac, d_min=1e-4):
+    """Load vector of the singularity-subtracted correction problem.
+
+    With u = u_s + w and u_s the exact full-space field of the sources in the
+    homogeneous mud conductivity sigma0, w satisfies
+    ``a(w, v) = -∫ 2·pi·r (sigma - sigma0) grad(u_s)·grad(v)`` — the integrand
+    vanishes wherever sigma == sigma0 (the whole borehole, which contains the
+    singularity), so 2x2 Gauss quadrature is accurate everywhere it is nonzero.
+
+    Returns rhs (B, S, NZ, NR) BEFORE the Dirichlet boundary lift.
+    """
+    nz, nr = coords.shape[-3], coords.shape[-2]
+    zc, rc = _cell_corner_coords(coords)  # per-corner (B, NZc, NRc)
+    z0, r0 = zc[0], rc[0]
+    dz = [zi - z0 for zi in zc]
+    dr = [ri - r0 for ri in rc]
+    sig_dev = (sigma_cells - sigma0[:, None, None])[:, None]  # (B, 1, NZc, NRc)
+    inv_sig0 = 1.0 / sigma0[:, None, None, None]
+    two_pi = 2.0 * jnp.pi
+
+    acc = [None] * 4  # per-corner accumulators (B, S, NZc, NRc)
+    for gx in _GAUSS:
+        for gy in _GAUSS:
+            n = 0.25 * (1 + _XI * gx) * (1 + _ETA * gy)
+            dn0 = 0.25 * _XI * (1 + _ETA * gy)
+            dn1 = 0.25 * _ETA * (1 + _XI * gx)
+            J00 = sum(float(dn0[a]) * dz[a] for a in range(4))
+            J01 = sum(float(dn1[a]) * dz[a] for a in range(4))
+            J10 = sum(float(dn0[a]) * dr[a] for a in range(4))
+            J11 = sum(float(dn1[a]) * dr[a] for a in range(4))
+            detJ = J00 * J11 - J01 * J10
+            inv_det = 1.0 / detJ
+            gz = [(J11 * float(dn0[a]) - J10 * float(dn1[a])) * inv_det for a in range(4)]
+            gr = [(J00 * float(dn1[a]) - J01 * float(dn0[a])) * inv_det for a in range(4)]
+            z_g = sum(float(n[a]) * zc[a] for a in range(4))[:, None]  # (B,1,NZc,NRc)
+            r_g = sum(float(n[a]) * rc[a] for a in range(4))[:, None]
+
+            # Analytic grad u_s at the Gauss point, summed over sources.
+            gus_z = 0.0
+            gus_r = 0.0
+            for k in range(src_z.shape[-1]):
+                zs = src_z[..., k][..., None, None]  # (B, S, 1, 1)
+                fac = src_fac[..., k][..., None, None]
+                ddz = z_g - zs
+                d2 = ddz * ddz + r_g * r_g
+                d3 = jnp.maximum(d2, d_min * d_min) ** 1.5
+                coef = -fac / (4.0 * jnp.pi) * inv_sig0
+                gus_z = gus_z + coef * ddz / d3
+                gus_r = gus_r + coef * r_g / d3
+
+            w_g = two_pi * r_g * sig_dev * jnp.abs(detJ)[:, None]
+            for a in range(4):
+                gza = gz[a][:, None]
+                gra = gr[a][:, None]
+                term = -w_g * (gus_z * gza + gus_r * gra)
+                acc[a] = term if acc[a] is None else acc[a] + term
+
+    rhs = jnp.zeros(src_fac.shape[:2] + (nz, nr), dtype=coords.dtype)
+    for a, (ai, aj) in enumerate(_CORNERS):
+        rhs = rhs.at[..., ai : ai + nz - 1, aj : aj + nr - 1].add(acc[a])
+    return rhs

@@ -203,7 +203,7 @@ def _chebyshev_smooth(level, r, z, degree: int, lower_frac: float):
     return z
 
 
-def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig):
+def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig, C_fine=None):
     """Assemble the fine stencil, Galerkin-coarsen down, estimate spectra."""
     nz, nr = coords.shape[-3], coords.shape[-2]
     for l in range(config.n_levels - 1):
@@ -214,7 +214,7 @@ def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig):
                 "choose nz-1, nr-1 divisible by 2^(n_levels-1)"
             )
     levels = []
-    C = assemble_stencil_2d(coords, sigma_cells, free_mask)
+    C = C_fine if C_fine is not None else assemble_stencil_2d(coords, sigma_cells, free_mask)
     for l in range(config.n_levels):
         diag = stencil_diag(C)
         inv_diag = 1.0 / jnp.where(diag != 0, diag, 1.0)
@@ -251,9 +251,11 @@ def v_cycle(levels, r, config: MGConfig, l: int = 0):
     return z
 
 
-def make_mg_preconditioner(coords, sigma_cells, free_mask, config: MGConfig = MGConfig()):
+def make_mg_preconditioner(
+    coords, sigma_cells, free_mask, config: MGConfig = MGConfig(), C_fine=None
+):
     """Returns (C_fine, M_inv) for use with :func:`remo3d_tpu.ops.cg.pcg`."""
-    levels = build_hierarchy(coords, sigma_cells, free_mask, config)
+    levels = build_hierarchy(coords, sigma_cells, free_mask, config, C_fine=C_fine)
 
     def M_inv(r):
         return v_cycle(levels, r, config)

@@ -69,8 +69,12 @@ def _solve_chunk_3d(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
     return u[..., :, 0, 0], rel, iters
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "preconditioner"))
-def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner):
+@partial(
+    jax.jit, static_argnames=("tol", "maxiter", "preconditioner", "subtract")
+)
+def _solve_chunk(
+    coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner, subtract=True
+):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
 
     Module-level so XLA's jit cache is shared across Executor instances (one compile
@@ -78,25 +82,60 @@ def _solve_chunk(coords, sigma, free, src_i, src_fac, *, tol, maxiter, precondit
 
     coords (B, NZ, NR, 2), sigma (B, NZ-1, NR-1), free (B, NZ, NR) bool,
     src_i (B, S, MAX_SOURCES) int32, src_fac (B, S, MAX_SOURCES).
+
+    With ``subtract`` (default) the point-source singularity is removed
+    analytically: we solve for the smooth correction w = u - u_s with the load
+    ``-∫2·pi·r(sigma-sigma0)grad(u_s)·grad(v)`` and an inhomogeneous Dirichlet lift
+    w = -u_s on the truncation circle, which upgrades the effective accuracy of the
+    Q1 discretization by removing the 1/d field from the discrete problem.
     """
+    from ..ops.assembly2d import (
+        apply_dirichlet,
+        element_matrices_2d,
+        fold_to_stencil,
+        fundamental_potential_2d,
+        singularity_rhs_2d,
+    )
+    from ..ops.stencil import stencil_apply
+
     nz, nr = coords.shape[-3], coords.shape[-2]
+    freeb = free[:, None]  # broadcast over the solve axis
 
-    def one_rhs(idx, fac):
-        b = jnp.zeros((nz, nr), dtype=coords.dtype)
-        return b.at[idx, 0].add(fac)
-
-    b = jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)  # (B, S, NZ, NR)
-
-    n_levels = _feasible_mg_levels(nz, nr) if preconditioner == "multigrid" else 1
-    if n_levels > 1:
+    # Assemble once; keep the raw stencil for the boundary-lift product and derive
+    # the eliminated system + MG hierarchy from it.
+    C_raw = fold_to_stencil(element_matrices_2d(coords, sigma), nz, nr)
+    C_fine = apply_dirichlet(C_raw, free)
+    use_mg = preconditioner == "multigrid" and _feasible_mg_levels(nz, nr) > 1
+    if use_mg:
         C, M_inv = make_mg_preconditioner(
-            coords, sigma, free, MGConfig(n_levels=n_levels)
+            coords,
+            sigma,
+            free,
+            MGConfig(n_levels=_feasible_mg_levels(nz, nr)),
+            C_fine=C_fine,
         )
-        u, info = pcg(C, b, M_inv=M_inv, tol=tol, maxiter=maxiter)
     else:
         # "local" preconditioner parity (ngsolve_functions.py:46): point Jacobi.
-        C = assemble_stencil_2d(coords, sigma, free)
-        u, info = pcg(C, b, tol=tol, maxiter=maxiter)
+        C = C_fine
+        M_inv = None
+
+    if subtract:
+        sigma0 = sigma[:, 0, 0]  # borehole column = mud conductivity
+        z_axis = coords[:, :, 0, 0]  # (B, NZ)
+        src_z = jnp.take_along_axis(z_axis[:, None, :], src_i, axis=-1)  # (B,S,2)
+        u_s = fundamental_potential_2d(coords, sigma0, src_z, src_fac)
+        rhs = singularity_rhs_2d(coords, sigma, sigma0, src_z, src_fac)
+        g_lift = jnp.where(freeb, 0.0, -u_s)
+        rhs = jnp.where(freeb, rhs - stencil_apply(C_raw, g_lift), 0.0)
+        w0, info = pcg(C, rhs, M_inv=M_inv, tol=tol, maxiter=maxiter)
+        u = w0 + g_lift + u_s
+    else:
+        def one_rhs(idx, fac):
+            b = jnp.zeros((nz, nr), dtype=coords.dtype)
+            return b.at[idx, 0].add(fac)
+
+        b = jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)  # (B, S, NZ, NR)
+        u, info = pcg(C, b, M_inv=M_inv, tol=tol, maxiter=maxiter)
     # Axis potentials are all the readout ever needs (electrodes sit on axis grid
     # nodes; worker.py:124-131 evaluates u at (0, z) / (0, 0, z)).
     return u[..., 0], info["rel_residual"], info["iterations"]
@@ -109,7 +148,7 @@ class ExecutorConfig:
     tol: float = 1e-7
     maxiter: int = 1000
     dtype: str = "float32"
-    chunk_size: int = 16  # batch meshes per device dispatch (multiplied up to devices)
+    chunk_size: int = 48  # batch meshes per device dispatch (multiplied up to devices)
     preconditioner: str = "multigrid"  # "local" (Jacobi) or "multigrid"
     platform: str | None = None  # None = JAX default (TPU when present); "cpu" for tests
     # A solve is declared failed (NaN readouts, matching the reference's per-task NaN
