@@ -273,7 +273,11 @@ def v_cycle3(levels, r, config: MGConfig3D, l: int = 0):
 
 @partial(jax.jit, static_argnames=("config", "tol", "maxiter"))
 def mg_pcg3(levels, b, *, config: MGConfig3D, tol: float, maxiter: int):
-    """PCG on the pole-tied subspace with the V-cycle preconditioner (one program)."""
+    """PCG on the pole-tied subspace with the V-cycle preconditioner (one program).
+
+    NOTE: this single-program form is what the CPU tests use; on the axon TPU the
+    program is too large for the toolchain — use :func:`mg_pcg3_staged` there.
+    """
     matvec = _tied_matvec(levels[0]["C"])
 
     def M_inv(r):
@@ -283,3 +287,104 @@ def mg_pcg3(levels, b, *, config: MGConfig3D, tol: float, maxiter: int):
         None, b, M_inv=M_inv, tol=tol, maxiter=maxiter, n_grid_axes=3, matvec=matvec
     )
     return pole_project(u), info["rel_residual"], info["iterations"]
+
+
+# ---------------------------------------------------------------------------------
+# Host-driven staged PCG: the axon TPU toolchain cannot compile the full
+# V-cycle-inside-while-loop program, and any device->host transfer between programs
+# intermittently kills the remote worker. So the CG runs a FIXED number of
+# iterations driven from the host, composed of small cached jits, with no
+# data-dependent control flow and a single transfer at the very end.
+# ---------------------------------------------------------------------------------
+
+
+def _rdot(a, b):
+    """Batched dot over the grid axes via a merged reshape (axon-safe)."""
+    ra = a.reshape(a.shape[:-3] + (-1,))
+    rb = b.reshape(b.shape[:-3] + (-1,))
+    return jnp.sum(ra * rb, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("degree", "lower_frac", "pcr_steps"))
+def _smooth_stage(C, free, lmax, r, z, *, degree, lower_frac, pcr_steps):
+    level = {"C": C, "free": free, "lmax": lmax}
+    return _chebyshev_smooth3(level, r, z, degree, lower_frac, pcr_steps)
+
+
+@jax.jit
+def _residual_stage(C, free, r, z):
+    freeb = free if r.ndim == free.ndim else jnp.expand_dims(free, -4)
+    res = jnp.where(freeb, r - _tied_matvec(C)(z), 0.0)
+    return pole_project(restrict3(res))
+
+
+@jax.jit
+def _prolong_add_stage(z, zc, free):
+    freeb = free if z.ndim == free.ndim else jnp.expand_dims(free, -4)
+    return z + jnp.where(freeb, pole_project(prolong3(zc)), 0.0)
+
+
+def _vcycle_stage(levels, r, *, config: MGConfig3D, l: int = 0):
+    """Host-driven V-cycle: one small cached jit per smoother/transfer stage."""
+    level = levels[l]
+    if l == len(levels) - 1:
+        return _smooth_stage(
+            level["C"], level["free"], level["lmax"], r, jnp.zeros_like(r),
+            degree=config.coarse_degree, lower_frac=config.lower_frac / 8,
+            pcr_steps=config.pcr_steps,
+        )
+    z = _smooth_stage(
+        level["C"], level["free"], level["lmax"], r, jnp.zeros_like(r),
+        degree=config.degree_pre, lower_frac=config.lower_frac,
+        pcr_steps=config.pcr_steps,
+    )
+    rc = _residual_stage(level["C"], level["free"], r, z)
+    zc = _vcycle_stage(levels, rc, config=config, l=l + 1)
+    z = _prolong_add_stage(z, zc, level["free"])
+    z = _smooth_stage(
+        level["C"], level["free"], level["lmax"], r, z,
+        degree=config.degree_post, lower_frac=config.lower_frac,
+        pcr_steps=config.pcr_steps,
+    )
+    return z
+
+
+@jax.jit
+def _cg_update_ur(C, u, r, p, rz):
+    """alpha = rz/<p,Ap>; u += alpha p; r -= alpha Ap (one fused stage)."""
+    Ap = pole_project(stencil3d_apply(C, pole_project(p)))
+    pAp = _rdot(p, Ap)
+    alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+    alpha = jnp.where(pAp > 0, alpha, 0.0)[..., None, None, None]
+    return u + alpha * p, r - alpha * Ap
+
+
+@jax.jit
+def _cg_update_p(z, p, r, rz):
+    """rz_new = <r,z>; beta = rz_new/rz; p = z + beta p."""
+    rz_new = _rdot(r, z)
+    beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+    return z + beta[..., None, None, None] * p, rz_new
+
+
+@jax.jit
+def _finalize(u, r, b):
+    rr = _rdot(r, r)
+    bb = _rdot(b, b)
+    rel = jnp.sqrt(rr / jnp.where(bb > 0, bb, 1.0))
+    return pole_project(u), rel
+
+
+def mg_pcg3_staged(levels, b, *, config: MGConfig3D, n_iters: int = 20):
+    """Fixed-iteration MG-PCG composed of small cached jits (no mid transfers)."""
+    u = jnp.zeros_like(b)
+    r = b
+    z = _vcycle_stage(levels, r, config=config)
+    p = z
+    rz = _rdot(r, z)
+    for _ in range(n_iters):
+        u, r = _cg_update_ur(levels[0]["C"], u, r, p, rz)
+        z = _vcycle_stage(levels, r, config=config)
+        p, rz = _cg_update_p(z, p, r, rz)
+    u, rel = _finalize(u, r, b)
+    return u, rel, jnp.int32(n_iters)

@@ -48,7 +48,12 @@ def _solve_chunk_3d(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
     coords (B, NZ, NP, NR, 3), sigma (B, NZ-1, NP-1, NR-1), free (B, NZ, NP, NR),
     src_i (B, S, MAX_SOURCES) int32, src_fac (B, S, MAX_SOURCES).
     """
-    from ..ops.multigrid3d import MGConfig3D, build_hierarchy3, mg_pcg3
+    from ..ops.multigrid3d import (
+        MGConfig3D,
+        build_hierarchy3,
+        mg_pcg3,
+        mg_pcg3_staged,
+    )
 
     nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
 
@@ -65,7 +70,12 @@ def _solve_chunk_3d(coords, sigma, free, src_i, src_fac, *, tol, maxiter):
     config = MGConfig3D(n_levels=_feasible_mg_levels(nz, np_, nr))
     levels = build_hierarchy3(coords, sigma, free, config)
     b = build_rhs(src_i, src_fac)
-    u, rel, iters = mg_pcg3(levels, b, config=config, tol=tol, maxiter=maxiter)
+    if coords.devices() and next(iter(coords.devices())).platform == "cpu":
+        u, rel, iters = mg_pcg3(levels, b, config=config, tol=tol, maxiter=maxiter)
+    else:
+        # Remote-TPU toolchain: staged fixed-iteration CG (see multigrid3d notes).
+        n_iters = min(maxiter, 20)
+        u, rel, iters = mg_pcg3_staged(levels, b, config=config, n_iters=n_iters)
     return u[..., :, 0, 0], rel, iters
 
 
