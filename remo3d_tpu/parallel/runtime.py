@@ -22,6 +22,7 @@ import numpy as np
 from ..meshing.carve import carve_local_model
 from ..meshing.grid2d import Grid2D, GridSpec2D, build_grid2d
 from ..meshing.grid3d import Grid3D, GridSpec3D, build_grid3d
+from ..meshing.native import build_grid2d_native, native_available
 from ..ops import assemble_stencil_2d, pcg
 from ..ops.multigrid import MGConfig, make_mg_preconditioner
 from ..planner import BatchTask
@@ -165,6 +166,9 @@ class ExecutorConfig:
     # containment, worker.py:135-138) only above this attained relative residual;
     # between tol and this, the attained accuracy is accepted (float32 stragglers).
     fail_residual: float = 1e-4
+    # Host meshing backend: the native C++ builder (native/grid2d.cpp) when
+    # available, with transparent fallback to the numpy reference implementation.
+    use_native_mesher: bool = True
 
 
 class Executor:
@@ -216,8 +220,13 @@ class Executor:
                         )
                     )
                 else:
+                    builder = (
+                        build_grid2d_native
+                        if self.config.use_native_mesher and native_available()
+                        else build_grid2d
+                    )
                     grids.append(
-                        build_grid2d(
+                        builder(
                             self.config.spec,
                             domain_radius,
                             lm,

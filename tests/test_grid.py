@@ -145,3 +145,19 @@ def test_carve_drops_layers_outside_window():
     lm = carve_local_model(formation, borehole, 1.0, 0.0, 50.0)
     assert lm.tops.shape[0] == 1  # only the spanning layer remains
     assert np.isclose(lm.sigma_uz[0], 1 / 10.0)
+
+
+def test_native_grid_builder_matches_python():
+    from remo3d_tpu.meshing.native import build_grid2d_native, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    lm = simple_model()
+    electrodes = np.array([-2.5, -2.0, 0.0, 0.4])
+    sources = np.array([-0.1, 0.0, 0.1])
+    g_py = build_grid2d(SPEC, 50.0, lm, electrodes, sources)
+    g_c = build_grid2d_native(SPEC, 50.0, lm, electrodes, sources)
+    assert np.allclose(g_py.z_axis, g_c.z_axis, atol=1e-10)
+    assert np.allclose(g_py.coords, g_c.coords, atol=1e-10)
+    assert np.array_equal(g_py.sigma_cells, g_c.sigma_cells)
+    assert np.array_equal(g_py.free_mask, g_c.free_mask)
