@@ -13,6 +13,7 @@ with NaN padding replaces the reference's ready-ping scheduler (remo3d.py:845-86
 from __future__ import annotations
 
 import dataclasses
+import sys
 from functools import partial
 
 import jax
@@ -253,7 +254,10 @@ class Executor:
         S = max(len(t.solves) for t in tasks)
         B_total = len(tasks)
         n_dev = len(self._devices)
-        chunk = max(self.config.chunk_size, n_dev)
+        # Bound total concurrent solves (B*S): larger products exhaust device/compile
+        # memory (chunk_size is calibrated for the default batch_size of 5).
+        solve_budget = self.config.chunk_size * 5
+        chunk = max(min(self.config.chunk_size, max(1, solve_budget // S)), n_dev)
         chunk = ((chunk + n_dev - 1) // n_dev) * n_dev  # multiple of device count
 
         if n_dev > 1:
@@ -324,11 +328,16 @@ class Executor:
                         u_axis = np.asarray(u_axis)
                         rel_res = np.asarray(rel_res)
                         break
-                    except jax.errors.JaxRuntimeError:
+                    except jax.errors.JaxRuntimeError as e:
                         # The remote-TPU (axon) runtime intermittently drops the
                         # worker; retry the chunk — fault containment beats
                         # aborting the whole log (reference parity: per-task NaN,
                         # worker.py:135-138).
+                        print(
+                            f"solve chunk failed (attempt {attempt + 1}/3): "
+                            f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
+                            file=sys.stderr,
+                        )
                         if attempt == 2:
                             u_axis = np.zeros((B, S) + (g0.coords.shape[0],))
                             rel_res = np.full((B, S), np.inf)
