@@ -25,6 +25,9 @@ _cache_dir = _os.environ.get(
 try:  # pragma: no cover - depends on jax build
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # The default min-entry-size filter drops every artifact produced by the
+    # axon remote-compile path (observed: no cache writes at all without this).
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:
     pass
 

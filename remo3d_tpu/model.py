@@ -176,7 +176,7 @@ class Model:
         mesh_generator="auto",
         preconditioner="multigrid",
         condense=True,
-        tol=3e-7,
+        tol=None,
         maxiter=1000,
         dtype="float32",
         grid_spec: GridSpec2D | None = None,
@@ -187,12 +187,15 @@ class Model:
         """Simulate all logs (reference remo3d.py:723-884).
 
         TPU-native extras beyond the reference kwargs: ``tol`` (CG relative
-        tolerance), ``dtype`` and ``grid_spec`` (grid topology override).
-        ``condense`` is accepted for compatibility; Q1 stencils have no interior
-        DOFs to condense.
+        tolerance; None = automatic, 3e-7 for 2D and 1e-5 for the
+        singularity-subtracted 3D solve), ``dtype`` and ``grid_spec`` (grid
+        topology override). ``condense`` is accepted for compatibility; Q1
+        stencils have no interior DOFs to condense.
         """
         start_time = datetime.datetime.now()
         measurement_depths = np.asarray(measurement_depths, dtype=float)
+        if tol is None:
+            tol = 3e-7 if np.isclose(self.dip_deg, 0) else 1e-5
 
         # Domain sanity checks (remo3d.py:766-773).
         domain_radius_alert = False
@@ -267,6 +270,7 @@ class Model:
             # Half-space convention: only the y>=0 half-ball is modeled in 3D
             # (worker.py:129-131).
             readout_factor=0.5 if self.dip_deg != 0 else 1.0,
+            verbose=verbose,
         )
 
         logs = {}

@@ -148,3 +148,125 @@ def assemble_stencil_3d(coords, sigma_cells, free_mask) -> jnp.ndarray:
     K = element_matrices_3d(coords, sigma_cells)
     C = fold_to_stencil_3d(K, nz, np_, nr)
     return apply_dirichlet_3d(C, free_mask)
+
+
+def fundamental_potential_3d(coords, sigma0, src_z, src_fac, d_min=1e-4):
+    """u_s at the grid nodes: half-space point-source fields on the borehole axis.
+
+    The sources sit on the axis at (0, 0, z_s); the half-ball (y >= 0) carries the
+    reference's half-space convention (full current into the half domain, readouts
+    halved afterwards — worker.py:129-131), so ``u_s = fac / (2*pi*sigma0*d)``.
+
+    coords (B, NZ, NP, NR, 3) [(x, y, z)]; sigma0 (B,) mud conductivity;
+    src_z (B, S, K); src_fac (B, S, K). Returns (B, S, NZ, NP, NR).
+    """
+    x = coords[..., 0][:, None]
+    y = coords[..., 1][:, None]
+    z = coords[..., 2][:, None]
+    u = 0.0
+    for k in range(src_z.shape[-1]):
+        zs = src_z[..., k][..., None, None, None]
+        fac = src_fac[..., k][..., None, None, None]
+        d = jnp.sqrt(x * x + y * y + (z - zs) ** 2)
+        u = u + fac / (2.0 * jnp.pi * jnp.maximum(d, d_min))
+    return u / sigma0[:, None, None, None, None]
+
+
+def singularity_rhs_3d(coords, sigma_cells, sigma0, src_z, src_fac, d_min=1e-4):
+    """Load vector of the 3D singularity-subtracted correction problem.
+
+    With u = u_s + w, w satisfies ``a(w, v) = -∫ (sigma - sigma0) grad(u_s)·grad(v)``
+    over the half-ball; the integrand vanishes inside the borehole (sigma == sigma0
+    there), which contains every source, so 2x2x2 Gauss quadrature is accurate
+    wherever it is nonzero. Returns rhs (B, S, NZ, NP, NR) BEFORE the Dirichlet
+    lift and BEFORE the pole projection.
+    """
+    nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
+    xs = _corner_coords(coords[..., 0])
+    ys = _corner_coords(coords[..., 1])
+    zs_c = _corner_coords(coords[..., 2])
+    dx = [xi - xs[0] for xi in xs]
+    dy = [yi - ys[0] for yi in ys]
+    dz = [zi - zs_c[0] for zi in zs_c]
+    sig_dev = (sigma_cells - sigma0[:, None, None, None])[:, None]  # (B,1,cells)
+    inv_sig0 = 1.0 / sigma0[:, None, None, None, None]
+
+    acc = [None] * 8
+    for gx in _GAUSS:
+        for gy in _GAUSS:
+            for gz in _GAUSS:
+                n = (
+                    0.125
+                    * (1 + _XI * gx)
+                    * (1 + _ETA * gy)
+                    * (1 + _ZETA * gz)
+                )  # (8,)
+                dn = np.stack(
+                    [
+                        0.125 * _XI * (1 + _ETA * gy) * (1 + _ZETA * gz),
+                        0.125 * _ETA * (1 + _XI * gx) * (1 + _ZETA * gz),
+                        0.125 * _ZETA * (1 + _XI * gx) * (1 + _ETA * gy),
+                    ],
+                    axis=1,
+                )
+                J = [[None] * 3 for _ in range(3)]
+                for l in range(3):
+                    J[0][l] = sum(float(dn[a, l]) * dx[a] for a in range(8))
+                    J[1][l] = sum(float(dn[a, l]) * dy[a] for a in range(8))
+                    J[2][l] = sum(float(dn[a, l]) * dz[a] for a in range(8))
+                a00, a01, a02 = J[0]
+                a10, a11, a12 = J[1]
+                a20, a21, a22 = J[2]
+                c00 = a11 * a22 - a12 * a21
+                c01 = a12 * a20 - a10 * a22
+                c02 = a10 * a21 - a11 * a20
+                c10 = a02 * a21 - a01 * a22
+                c11 = a00 * a22 - a02 * a20
+                c12 = a01 * a20 - a00 * a21
+                c20 = a01 * a12 - a02 * a11
+                c21 = a02 * a10 - a00 * a12
+                c22 = a00 * a11 - a01 * a10
+                detJ = a00 * c00 + a01 * c01 + a02 * c02
+                inv_det = 1.0 / jnp.where(jnp.abs(detJ) > 1e-30, detJ, 1e-30)
+                gxs, gys, gzs = [], [], []
+                for a in range(8):
+                    d0, d1, d2 = float(dn[a, 0]), float(dn[a, 1]), float(dn[a, 2])
+                    gxs.append((d0 * c00 + d1 * c01 + d2 * c02) * inv_det)
+                    gys.append((d0 * c10 + d1 * c11 + d2 * c12) * inv_det)
+                    gzs.append((d0 * c20 + d1 * c21 + d2 * c22) * inv_det)
+
+                # Gauss-point position (B, 1, cells).
+                x_g = sum(float(n[a]) * xs[a] for a in range(8))[:, None]
+                y_g = sum(float(n[a]) * ys[a] for a in range(8))[:, None]
+                z_g = sum(float(n[a]) * zs_c[a] for a in range(8))[:, None]
+
+                # Analytic grad u_s at the Gauss point, summed over sources.
+                gus_x = 0.0
+                gus_y = 0.0
+                gus_z = 0.0
+                for k in range(src_z.shape[-1]):
+                    zsk = src_z[..., k][..., None, None, None]  # (B, S, 1, 1, 1)
+                    fac = src_fac[..., k][..., None, None, None]
+                    ddz = z_g - zsk
+                    d2 = x_g * x_g + y_g * y_g + ddz * ddz
+                    d3 = jnp.maximum(d2, d_min * d_min) ** 1.5
+                    coef = -fac / (2.0 * jnp.pi) * inv_sig0
+                    gus_x = gus_x + coef * x_g / d3
+                    gus_y = gus_y + coef * y_g / d3
+                    gus_z = gus_z + coef * ddz / d3
+
+                w_g = sig_dev * jnp.abs(detJ)[:, None]
+                for a in range(8):
+                    term = -w_g * (
+                        gus_x * gxs[a][:, None]
+                        + gus_y * gys[a][:, None]
+                        + gus_z * gzs[a][:, None]
+                    )
+                    acc[a] = term if acc[a] is None else acc[a] + term
+
+    rhs = jnp.zeros(src_fac.shape[:2] + (nz, np_, nr), dtype=coords.dtype)
+    for a, (ai, aj, ak) in enumerate(_CORNERS3):
+        rhs = rhs.at[
+            ..., ai : ai + nz - 1, aj : aj + np_ - 1, ak : ak + nr - 1
+        ].add(acc[a])
+    return rhs

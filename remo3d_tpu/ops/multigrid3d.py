@@ -103,7 +103,14 @@ def _comb_array(nc: tuple) -> np.ndarray:
 
 @jax.jit
 def _probe(C, comb):
-    """y = P^T (A (P combs)) — all 27 probes on the broadcast solve axis."""
+    """y = P^T (A (P comb)) for ONE comb (no broadcast probe axis).
+
+    The axon TPU compiler faults (deterministically, device-killing) when the 27
+    probes share one program over a broadcast axis — even chunked by 9 — while the
+    single-probe program runs and matches the CPU result exactly. The coarsening
+    is built once per chunk, so 27 small cached dispatches per level are cheap
+    next to the CG iterations they enable.
+    """
     return restrict3(stencil3d_apply(C, prolong3(comb)))
 
 
@@ -133,10 +140,12 @@ def galerkin_coarsen3(C: jnp.ndarray, coarse_free: jnp.ndarray) -> jnp.ndarray:
     """Exact Galerkin coarse stencil via 27 stride-3 comb probes (host-staged)."""
     nc = tuple(coarse_free.shape[-3:])
     lead = C.shape[:-4]
-    comb = jnp.asarray(
-        np.broadcast_to(_comb_array(nc), lead + (27,) + nc), dtype=C.dtype
-    )
-    y = _probe(C, comb)
+    combs = _comb_array(nc)
+    ys = [
+        _probe(C, jnp.asarray(np.broadcast_to(combs[e], lead + nc), dtype=C.dtype))
+        for e in range(27)
+    ]
+    y = jnp.stack(ys, axis=len(lead))
     return _gather_stencil(y, coarse_free)
 
 
