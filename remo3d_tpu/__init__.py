@@ -22,14 +22,18 @@ import jax as _jax
 _cache_dir = _os.environ.get(
     "REMO3D_TPU_CACHE", _os.path.join(_os.path.expanduser("~"), ".cache", "remo3d_tpu_xla")
 )
-try:  # pragma: no cover - depends on jax build
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    # The default min-entry-size filter drops every artifact produced by the
-    # axon remote-compile path (observed: no cache writes at all without this).
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+    # TPU sessions only: CPU AOT cache entries replay with mismatched
+    # machine-feature metadata (xla cpu_aot_loader warns about possible SIGILL),
+    # so pure-CPU runs (tests, the driver's multichip dryrun) skip the cache.
+    try:  # pragma: no cover - depends on jax build
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # The default min-entry-size filter drops every artifact produced by
+        # the axon remote-compile path (observed: no cache writes without it).
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 from .model import Model  # noqa: F401,E402
 

@@ -358,25 +358,43 @@ class Executor:
         n_dev = len(self._devices)
         # Bound total concurrent solves (B*S): larger products exhaust device/compile
         # memory (chunk_size is calibrated for the default batch_size of 5).
+        # Device mesh: ('batch', 'solve'). The batch axis (one mesh per entry —
+        # the reference's MPI task axis, remo3d.py:845-860) carries the data
+        # parallelism; when batches are scarcer than devices, leftover device
+        # capacity is spent on the solve axis (right-hand sides sharing one
+        # stencil) instead of idling on padded lanes.
+        n_solve_axis = 1
+        if n_dev > 1 and B_total < n_dev:
+            spare = n_dev // math.gcd(n_dev, B_total)
+            for cand in range(min(S, spare), 0, -1):
+                if S % cand == 0 and n_dev % cand == 0:
+                    n_solve_axis = cand
+                    break
+        n_batch_axis = n_dev // n_solve_axis
+
         base_chunk = self.config.chunk_size_3d if is_3d else self.config.chunk_size
         solve_budget = base_chunk * 5
-        chunk = max(min(base_chunk, max(1, solve_budget // S)), n_dev)
-        # Quantize to a multiple of 8 (and of the device count): odd batch
+        chunk = max(min(base_chunk, max(1, solve_budget // S)), n_batch_axis)
+        # Quantize to a multiple of 8 (and of the batch mesh axis): odd batch
         # extents fail the axon TPU compile, and coarse quantization bounds the
         # number of distinct compiled shapes. Never pad past the task list by
         # more than one quantum.
-        q = math.lcm(8, n_dev)
+        q = math.lcm(8, n_batch_axis)
         chunk = min(((chunk + q - 1) // q) * q, ((B_total + q - 1) // q) * q)
 
         if n_dev > 1:
-            mesh = jax.sharding.Mesh(np.array(self._devices), ("batch",))
-            sharding = jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec("batch")
+            mesh = jax.sharding.Mesh(
+                np.array(self._devices[:n_dev]).reshape(n_batch_axis, n_solve_axis),
+                ("batch", "solve"),
             )
+            P = jax.sharding.PartitionSpec
+            mesh_sharding = jax.sharding.NamedSharding(mesh, P("batch"))
+            solve_sharding = jax.sharding.NamedSharding(mesh, P("batch", "solve"))
+            shardings = [mesh_sharding] * 3 + [solve_sharding] * 2
         else:
             # Commit to the executor's device so jit runs there (the process default
             # device may be a different backend).
-            sharding = self._devices[0]
+            shardings = [self._devices[0]] * 5
 
         results = np.full((n_measurements, n_tools), np.nan)
         self.last_report = {"chunks": [], "n_failed_solves": 0, "n_nan_readouts": 0}
@@ -414,8 +432,8 @@ class Executor:
                     free[bi] = batch_grids[0].free_mask
 
             args = [
-                jax.device_put(a, sharding)
-                for a in (coords, sigma, free, src_i, src_fac)
+                jax.device_put(a, s)
+                for a, s in zip((coords, sigma, free, src_i, src_fac), shardings)
             ]
 
             with self.timers.phase("solve"):

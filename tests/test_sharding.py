@@ -58,6 +58,51 @@ def test_executor_sharded_batch_axis_matches_single_device():
     assert np.allclose(res_sharded[:, 0], rho, rtol=0.03)
 
 
+def test_executor_solve_axis_sharding_matches_single_device():
+    """Scarce batches + many RHS -> the executor spends devices on the solve axis.
+
+    2 batch meshes x 4 solves on the 8-device mesh partitions as ('batch': 2,
+    'solve': 4); the result must match the single-device run exactly (same
+    compiled math, different partitioning).
+    """
+    from remo3d_tpu import Model
+    from remo3d_tpu.meshing.grid2d import GridSpec2D
+    from remo3d_tpu.parallel.runtime import Executor, ExecutorConfig
+    from remo3d_tpu.planner import plan_tasks
+
+    spec = GridSpec2D(nz=129, nr=33, n_wall_cells=4, n_blend_cells=2)
+    rho = 6.0
+    formation = np.array([[-100.0, 100.0, np.nan, np.nan, rho]])
+    borehole = np.array([[-100.0, 0.1, rho], [100.0, 0.1, rho]])
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    depths = np.arange(0.0, 0.71, 0.1)  # 8 depths -> 2 batches of 4 solves
+    sim_depths, tasks = plan_tasks(m.tools, m.sec, depths, 4)
+    assert len(tasks) == 2 and max(len(t.solves) for t in tasks) == 4
+    mud = np.interp(sim_depths, m.borehole_model[:, 0], m.borehole_model[:, 2])
+
+    def run(devices_limit):
+        config = ExecutorConfig(
+            spec=spec,
+            platform="cpu",
+            preconditioner="local",
+            maxiter=20000,
+            tol=1e-6,
+        )
+        ex = Executor(config)
+        ex._devices = ex._devices[:devices_limit]
+        grids = ex.prepare_batches(
+            tasks, m.formation_model, m.borehole_model[:, :2], mud, 50.0, 0.0, 0.999
+        )
+        return ex.run(tasks, grids, len(depths), 1)
+
+    res_sharded = run(8)
+    res_single = run(1)
+    assert np.all(np.isfinite(res_sharded))
+    assert np.allclose(res_sharded, res_single, rtol=1e-4)
+    assert np.allclose(res_sharded[:, 0], rho, rtol=0.03)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
