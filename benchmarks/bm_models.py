@@ -18,7 +18,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # installed package (pip install -e .) or repo-root fallback
+    import remo3d_tpu  # noqa: F401
+except ImportError:  # pragma: no cover
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BM = "/root/reference/Examples/Benchmark models"
 TOOLS = ["B5.7A0.4M", "A2.0M0.5N"]

@@ -33,15 +33,18 @@ def set_formation_parameters(
             formation_parameters[:, i] *= CONVERSION_TABLE[unit]
         else:
             raise ValueError(
-                "{} unit in formation model file not recognized. "
-                "Allowed units: M, DM, CM, MM, IN, FT".format(unit)
+                f"Unknown length unit {unit!r} in formation model "
+                "(allowed: M, DM, CM, MM, IN, FT)"
             )
     if (np.diff(formation_parameters[:, :2], axis=0) <= 0.0).any() or (
         formation_parameters[1:, 0] != formation_parameters[:-1, 1]
     ).any():
-        raise ValueError("Uncorrect formation model geometry")
+        raise ValueError(
+            "Invalid formation geometry: layer boundaries must be contiguous "
+            "and strictly increasing"
+        )
     if np.nanmin(formation_parameters[:, [3, 4]]) <= 0.0:
-        raise ValueError("Formation resistivies have to be higher than 0 ohmm")
+        raise ValueError("Formation resistivities must be positive (ohmm)")
     return formation_parameters
 
 
@@ -66,19 +69,22 @@ def set_borehole_parameters(
     borehole_parameters = np.array(borehole_parameters, dtype=float, copy=True)
     borehole_parameters = np.atleast_2d(borehole_parameters)
     if borehole_parameters.shape[0] < 2:
-        raise ValueError("Borehole paramaters have to be defined for at least two depths")
+        raise ValueError("The borehole model needs at least two depth stations")
     for i, unit in enumerate(borehole_units):
         if unit in CONVERSION_TABLE:
             borehole_parameters[:, i] *= CONVERSION_TABLE[unit]
         else:
             raise ValueError(
-                "{} unit in borehole model file not recognized. "
-                "Allowed units: M, DM, CM, MM, IN, FT".format(unit)
+                f"Unknown length unit {unit!r} in borehole model "
+                "(allowed: M, DM, CM, MM, IN, FT)"
             )
     if (np.diff(borehole_parameters[:, 0], axis=0) <= 0.0).any() or (
         borehole_parameters[:, 1] <= 0.0
     ).any():
-        raise ValueError("Uncorrect borehole model geometry")
+        raise ValueError(
+            "Invalid borehole geometry: depths must be strictly increasing and "
+            "radii positive"
+        )
 
     if borehole_geometry_type == "diameter":
         borehole_parameters[:, 1] /= 2
@@ -86,11 +92,11 @@ def set_borehole_parameters(
         pass
     else:
         raise ValueError(
-            "Uncorrect borehole geometry type - use 'diameter' or 'radius' to specify "
-            "borehole geometry"
+            f"Unknown borehole geometry type {borehole_geometry_type!r}: "
+            "use 'diameter' or 'radius'"
         )
     if np.nanmin(borehole_parameters[:, 2]) <= 0.0:
-        raise ValueError("Drilling mud resistivies have to be higher than 0 ohmm")
+        raise ValueError("Drilling mud resistivities must be positive (ohmm)")
     return borehole_parameters
 
 
@@ -106,7 +112,7 @@ def load_borehole_parameters(
 def set_dip(dip: float) -> tuple[float, float]:
     """Validate dip (degrees, 0 <= dip < 90) and return (deg, rad)."""
     if dip < 0 or dip >= 90:
-        raise ValueError("Uncorrect dip angle")
+        raise ValueError("Dip must satisfy 0 <= dip < 90 degrees")
     return dip, dip * np.pi / 180
 
 
@@ -120,7 +126,8 @@ def check_model_geometry(formation_model: np.ndarray, borehole_model: np.ndarray
         layer_extend = borehole_model[in_layer, 1]
         if np.any(layer_extend >= formation_model[i, 2]):
             raise ValueError(
-                "Borehole radius have to be smaller than the extend of the filtration zone"
+                "The borehole radius must stay smaller than the invasion-zone "
+                "radius at every depth"
             )
 
 

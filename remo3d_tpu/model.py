@@ -81,8 +81,13 @@ class Model:
         mesh_generator="auto",
         preconditioner="multigrid",
         condense=True,
+        **simulate_kwargs,
     ):
-        """Complete modelling procedure (reference remo3d.py:65-174)."""
+        """Complete modelling procedure (reference remo3d.py:65-174).
+
+        Extra keyword arguments (``tol``, ``grid_spec``, ``platform``,
+        ``verbose``, ...) are forwarded to :meth:`simulate_logs`.
+        """
         model = cls(
             tools,
             force_single_electrode_configuration=force_single_electrode_configuration,
@@ -90,7 +95,9 @@ class Model:
         model.set_model_parameters(
             formation_model,
             borehole_model,
+            formation_units=formation_units,
             borehole_geometry_type=borehole_geometry_type,
+            borehole_units=borehole_units,
             dip=dip,
         )
         model.initialize_workers(cpu_workers=cpu_workers, gpu_workers=gpu_workers)
@@ -101,18 +108,32 @@ class Model:
             mesh_generator=mesh_generator,
             preconditioner=preconditioner,
             condense=condense,
+            **simulate_kwargs,
         )
         model.shutdown_workers()
         return model
 
     # ------------------------------------------------------------------ model setup
     def set_model_parameters(
-        self, formation_model, borehole_model, borehole_geometry_type="diameter", dip=0
+        self,
+        formation_model,
+        borehole_model,
+        formation_units=["M", "M", "M"],
+        borehole_geometry_type="diameter",
+        borehole_units=["M", "M"],
+        dip=0,
     ):
+        """Set formation/borehole models from files or arrays.
+
+        The unit lists apply to ndarray input only — model files carry their own
+        units row (reference remo3d.py:406-437, 470-499).
+        """
         if isinstance(formation_model, str):
             self.formation_model = mio.load_formation_parameters(formation_model)
         elif isinstance(formation_model, np.ndarray):
-            self.formation_model = mio.set_formation_parameters(formation_model)
+            self.formation_model = mio.set_formation_parameters(
+                formation_model, formation_units
+            )
 
         if isinstance(borehole_model, str):
             self.borehole_model = mio.load_borehole_parameters(
@@ -120,7 +141,7 @@ class Model:
             )
         elif isinstance(borehole_model, np.ndarray):
             self.borehole_model = mio.set_borehole_parameters(
-                borehole_model, borehole_geometry_type
+                borehole_model, borehole_geometry_type, borehole_units
             )
 
         self.dip_deg, self.dip_rad = mio.set_dip(dip)
@@ -158,11 +179,11 @@ class Model:
         argument errors are raised so existing scripts behave identically.
         """
         if type(cpu_workers) != int or type(gpu_workers) != int:
-            raise ValueError("The number of processes have to be an intager")
+            raise ValueError("Worker counts must be integers")
         if cpu_workers < 1:
-            raise ValueError("Minimal number of cpu workers is 1")
+            raise ValueError("At least one CPU worker is required")
         if gpu_workers < 0:
-            raise ValueError("Minimal number of gpu workers is 0")
+            raise ValueError("The GPU worker count cannot be negative")
 
         self.cpu_workers = cpu_workers
         self.gpu_workers = gpu_workers
@@ -203,16 +224,15 @@ class Model:
             extent = np.max(np.abs(tp.geometry))
             if extent > domain_radius:
                 raise ValueError(
-                    "Some electrodes are locate outside the simulation domain. "
-                    "Domain size have to be increased"
+                    "Some electrodes lie outside the simulation domain; "
+                    "increase domain_radius"
                 )
             elif extent > 0.75 * domain_radius:
                 domain_radius_alert = True
         if domain_radius_alert:
             print(
-                "Some electrodes are located close to the boundary of the simulation "
-                "domain. This may cause problems during simulation. Consider increase "
-                "of the domain size"
+                "Warning: some electrodes sit within 25% of the domain boundary; "
+                "results may degrade - consider a larger domain_radius"
             )
 
         # Mesh generator selection parity (remo3d.py:776-784).

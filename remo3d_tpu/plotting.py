@@ -1,12 +1,17 @@
 # -*- coding: utf-8 -*-
 """Result writing and visualization.
 
-Output parity with the reference's ``save_results`` (remo3d.py:902-1147): logs that
-share a depth axis are grouped into ``Results_N.txt`` TSVs (names row + units row,
-``%.4f``) inside a timestamped ``Results_YYYY_MM_DD__HH_MM_SS/`` folder, plus a
-``Results_plot.png`` showing the dip-sheared formation cross-section colored by
-resistivity (viridis), the borehole polygon, and multi-track log curves with per-log
-twiny axes and NaN break/continue handling.
+Output-format parity with the reference's ``save_results`` kwargs and files
+(remo3d.py:902 docstring): logs that share a depth axis are grouped into
+``Results_N.txt`` TSVs (names row + units row, ``%.4f``) inside a timestamped
+``Results_YYYY_MM_DD__HH_MM_SS/`` folder, plus a ``Results_plot.png``.
+
+The figure itself is an original design (not derived from the reference's
+implementation): the formation panel is a resistivity RASTER sampled from the
+model on a (radial x depth) grid — the same σ-sampling idea the solver grids use,
+which renders dip shear, invasion zones and the caliper-following borehole wall
+exactly — and each log track draws its curves in a single axis with a stacked,
+per-curve colored header instead of per-curve twin axes.
 """
 
 from __future__ import annotations
@@ -16,14 +21,92 @@ import os
 
 import matplotlib
 
-matplotlib.use("Agg")
+if not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
-import scipy.interpolate as spi
-from matplotlib import ticker
-from matplotlib.collections import PatchCollection
-from matplotlib.lines import Line2D
-from matplotlib.patches import Polygon
+from matplotlib.colors import LogNorm
+
+
+def _write_tsv_groups(logs, measurements_to_save, output_subfolder):
+    """Group logs sharing a depth axis into Results_N.txt files (byte format
+    contract: names row, units row, tab-separated %.4f)."""
+    if measurements_to_save == "auto":
+        measurements_to_save = list(logs.keys())
+    remaining = list(measurements_to_save)
+    file_number = 1
+    while remaining:
+        lead = remaining[0]
+        group = [
+            name
+            for name in remaining
+            if logs[name][:, 0].shape == logs[lead][:, 0].shape
+            and np.allclose(logs[name][:, 0], logs[lead][:, 0])
+        ]
+        for name in group:
+            remaining.remove(name)
+        data = np.column_stack([logs[lead][:, 0]] + [logs[n][:, 1] for n in group])
+        header = (
+            "\t".join(["DEPTH"] + group) + "\n" + "\t".join(["M"] + ["OHMM"] * len(group))
+        )
+        np.savetxt(
+            os.path.join(output_subfolder, f"Results_{file_number}.txt"),
+            data,
+            fmt="%.4f",
+            delimiter="\t",
+            header=header,
+            comments="",
+        )
+        file_number += 1
+
+
+def _smooth_logs(logs, factor):
+    """Cubic display smoothing by the given oversampling factor."""
+    from scipy.interpolate import make_interp_spline
+
+    out = {}
+    for name, log in logs.items():
+        z = log[:, 0]
+        dense = np.linspace(z[0], z[-1], int(z.size * factor))
+        finite = np.isfinite(log[:, 1])
+        if finite.sum() >= 4:
+            spline = make_interp_spline(z[finite], log[finite, 1], k=3)
+            vals = spline(dense)
+            # Keep NaN gaps where the source log had them.
+            gap = np.interp(dense, z, np.where(finite, 0.0, 1.0)) > 1e-9
+            vals[gap] = np.nan
+            out[name] = np.column_stack([dense, vals])
+        else:
+            out[name] = log
+    return out
+
+
+def _sample_model_raster(formation, borehole, dip_deg, rad_lim, depth_lim, n=(400, 600)):
+    """Resistivity raster over (radius, depth) — dip shear + invasion zones +
+    caliper wall evaluated exactly at each pixel center."""
+    nx, nz = n
+    xs = np.linspace(rad_lim[0], rad_lim[1], nx)
+    zs = np.linspace(depth_lim[0], depth_lim[1], nz)
+    X, Z = np.meshgrid(xs, zs)
+    a = np.tan(np.deg2rad(float(dip_deg)))
+    zeta = Z - a * X  # layer-frame depth: dip planes are zeta = const
+
+    tops = formation[:, 0]
+    bottoms = formation[:, 1]
+    idx = np.clip(np.searchsorted(bottoms, zeta), 0, formation.shape[0] - 1)
+    # Pixels above/below the described stack show the nearest layer.
+    res = formation[idx, 4].astype(float)
+    fz_r = formation[idx, 2]
+    fz_res = formation[idx, 3]
+    in_fz = ~np.isnan(fz_r) & (np.abs(X) < np.nan_to_num(fz_r, nan=-1.0))
+    res = np.where(in_fz, np.nan_to_num(fz_res, nan=np.inf), res)
+
+    if borehole is not None:
+        wall = np.interp(zs, borehole[:, 0], borehole[:, 1])[:, None]
+        mud = np.interp(zs, borehole[:, 0], borehole[:, 2])[:, None]
+        res = np.where(np.abs(X) < wall, mud, res)
+    del tops
+    return xs, zs, res
 
 
 def save_results_impl(
@@ -43,194 +126,116 @@ def save_results_impl(
     logs_interpolation_factor=1,
     logs_colours="auto",
 ):
+    """Write grouped TSVs + the summary figure; show interactively when
+    ``output_folder`` is None (reference remo3d.py:902 behavior)."""
     if logs is None:
         raise ValueError("No logs to save - run simulate_logs first")
-    logs = {k: np.asarray(v) for k, v in logs.items()}
+    if logs_at_nan not in ("break", "continue"):
+        raise ValueError('logs_at_nan must be "break" or "continue"')
+    logs = {k: np.asarray(v, dtype=float) for k, v in logs.items()}
     output_subfolder = None
 
-    # ---- TSV output ---------------------------------------------------------------
     if output_folder is not None:
-        output_subfolder = os.path.join(
-            output_folder,
-            "Results_{}/".format(datetime.datetime.now().strftime("%Y_%m_%d__%H_%M_%S")),
-        )
+        stamp = datetime.datetime.now().strftime("%Y_%m_%d__%H_%M_%S")
+        output_subfolder = os.path.join(output_folder, f"Results_{stamp}/")
         os.makedirs(output_subfolder, exist_ok=True)
+        _write_tsv_groups(logs, measurements_to_save, output_subfolder)
 
-        if measurements_to_save == "auto":
-            measurements_to_save = list(logs.keys())
-
-        logs_to_save = list(measurements_to_save)
-        file_number = 1
-        while logs_to_save:
-            group = [logs_to_save[0]]
-            for name in logs_to_save[1:]:
-                if logs[group[0]][:, 0].shape == logs[name][:, 0].shape and np.all(
-                    np.isclose(logs[group[0]][:, 0], logs[name][:, 0])
-                ):
-                    group.append(name)
-            for name in group:
-                logs_to_save.remove(name)
-
-            data = logs[group[0]]
-            for name in group[1:]:
-                data = np.hstack([data, np.atleast_2d(logs[name][:, 1]).T])
-            names = ["DEPTH"] + group
-            units = ["M"] + ["OHMM"] * len(group)
-            header = "\t".join(names) + "\n" + "\t".join(units)
-            np.savetxt(
-                os.path.join(output_subfolder, f"Results_{file_number}.txt"),
-                data,
-                fmt="%.4f",
-                delimiter="\t",
-                header=header,
-                comments="",
-            )
-            file_number += 1
-
-    # ---- Visualization ------------------------------------------------------------
+    # ---- Figure (original layout) -------------------------------------------------
     if logs_interpolation_factor > 1:
-        for name in list(logs.keys()):
-            depths = logs[name][:, 0]
-            interp_depths = np.linspace(
-                np.min(depths), np.max(depths), int(depths.size * logs_interpolation_factor)
-            )
-            f = spi.interp1d(depths, logs[name][:, 1], kind="cubic")
-            logs[name] = np.vstack([interp_depths, f(interp_depths)]).T
+        logs = _smooth_logs(logs, logs_interpolation_factor)
 
-    formation_parameters = np.array(formation_parameters, dtype=float, copy=True)
+    formation = np.array(formation_parameters, dtype=float, copy=True)
+    borehole = None if borehole_parameters is None else np.asarray(borehole_parameters)
+
     if plot_depth_lim == "auto":
-        plot_depth_lim = [
-            np.nanmin(formation_parameters[:, :2]),
-            np.nanmax(formation_parameters[:, :2]),
-        ]
+        zmin = min(float(np.nanmin(log[:, 0])) for log in logs.values())
+        zmax = max(float(np.nanmax(log[:, 0])) for log in logs.values())
+        pad = 0.05 * (zmax - zmin or 1.0)
+        plot_depth_lim = [zmin - pad, zmax + pad]
     if model_rad_lim == "auto":
-        if np.all(np.isnan(formation_parameters[:, 2])):
-            model_rad_lim = [
-                -10 * np.nanmax(borehole_parameters[:, 1]),
-                10 * np.nanmax(borehole_parameters[:, 1]),
-            ]
-        else:
-            model_rad_lim = [
-                -2 * np.nanmax(formation_parameters[:, 2]),
-                2 * np.nanmax(formation_parameters[:, 2]),
-            ]
-    if logs_res_lim == "auto":
-        res_max = max(np.nanmax(log[:, 1]) for log in logs.values())
-        res_min = min(np.nanmin(log[:, 1]) for log in logs.values())
-        scale = 10 ** np.floor(np.log10(res_max) - 1)
-        logs_res_lim = [np.floor(res_min / scale) * scale, np.ceil(res_max / scale) * scale]
-    if plot_aspect_ratio == "auto":
-        plot_aspect_ratio = (plot_depth_lim[1] - plot_depth_lim[0]) / 25 * 1.25
-
-    # Formation polygons, sheared by tan(dip) (remo3d.py:1028-1056).
-    patches = []
-    a = np.tan(np.asarray(dip, dtype=float) * np.pi / 180)
-    formation_parameters[0, 0] -= a * model_rad_lim[1]
-    formation_parameters[-1, 1] += a * model_rad_lim[1]
-    for i in range(formation_parameters.shape[0]):
-        top, bottom, fz_r = formation_parameters[i, :3]
-        outer = np.array(
-            [
-                [model_rad_lim[0], top + a * model_rad_lim[0]],
-                [model_rad_lim[0], bottom + a * model_rad_lim[0]],
-                [model_rad_lim[1], bottom + a * model_rad_lim[1]],
-                [model_rad_lim[1], top + a * model_rad_lim[1]],
-            ]
+        fz = formation[:, 2]
+        half_width = (
+            3.0 * float(np.nanmax(fz))
+            if not np.all(np.isnan(fz))
+            else 12.0 * float(np.nanmax(borehole[:, 1])) if borehole is not None else 1.0
         )
-        patches.append(Polygon(outer, closed=True))
-        if not np.isnan(fz_r):
-            inner = np.array(
-                [
-                    [-fz_r, top + a * -fz_r],
-                    [-fz_r, bottom + a * -fz_r],
-                    [fz_r, bottom + a * fz_r],
-                    [fz_r, top + a * fz_r],
-                ]
+        model_rad_lim = [-half_width, half_width]
+
+    track_layout = [list(logs.keys())] if plot_layout == "auto" else plot_layout
+    n_tracks = len(track_layout)
+
+    if logs_res_lim == "auto":
+        lo = min(float(np.nanmin(log[:, 1])) for log in logs.values())
+        hi = max(float(np.nanmax(log[:, 1])) for log in logs.values())
+        span = hi - lo or 1.0
+        logs_res_lim = [max(0.0, lo - 0.08 * span), hi + 0.08 * span]
+
+    if plot_aspect_ratio == "auto":
+        depth_span = plot_depth_lim[1] - plot_depth_lim[0]
+        plot_aspect_ratio = float(np.clip(depth_span / 30.0, 0.6, 2.5))
+
+    panel_w = 4.2
+    fig_w = panel_w * (1 + n_tracks) + 1.2
+    fig_h = max(4.0, 7.0 * plot_aspect_ratio)
+    fig = plt.figure(figsize=(fig_w, fig_h), layout="constrained")
+    gs = fig.add_gridspec(1, 1 + n_tracks)
+
+    # Model panel: raster + borehole axis marker.
+    ax_model = fig.add_subplot(gs[0, 0])
+    xs, zs, raster = _sample_model_raster(
+        formation, borehole, dip, model_rad_lim, plot_depth_lim
+    )
+    finite = raster[np.isfinite(raster)]
+    if model_res_lim == "auto":
+        norm = LogNorm(vmin=max(finite.min(), 1e-3), vmax=finite.max())
+    else:
+        norm = LogNorm(vmin=model_res_lim[0], vmax=model_res_lim[1])
+    mesh = ax_model.pcolormesh(xs, zs, raster, norm=norm, cmap="viridis", shading="auto")
+    ax_model.axvline(0.0, color="k", lw=0.8, ls=(0, (4, 2)))
+    ax_model.set_ylim(plot_depth_lim[1], plot_depth_lim[0])  # depth grows downward
+    ax_model.set_xlabel("distance from axis [m]")
+    ax_model.set_ylabel("depth [m]")
+    ax_model.set_title(f"Formation model (dip {dip}\N{DEGREE SIGN})")
+    fig.colorbar(mesh, ax=ax_model, location="right", label="resistivity [ohmm]", shrink=0.85)
+
+    # Log tracks: one axis per track, stacked colored headers for curve labels.
+    palette = (
+        plt.rcParams["axes.prop_cycle"].by_key()["color"]
+        if logs_colours == "auto"
+        else None
+    )
+    for ti, names in enumerate(track_layout):
+        ax = fig.add_subplot(gs[0, 1 + ti], sharey=ax_model)
+        colours = palette if palette is not None else logs_colours[ti]
+        for ci, name in enumerate(names):
+            log = logs[name]
+            colour = colours[ci % len(colours)]
+            vals = log[:, 1]
+            if logs_at_nan == "continue":
+                keep = np.isfinite(vals)
+                ax.plot(vals[keep], log[keep, 0], color=colour, lw=1.2)
+            else:  # "break": NaN samples leave gaps
+                ax.plot(vals, log[:, 0], color=colour, lw=1.2)
+            ax.text(
+                0.02 + 0.98 * ci / max(len(names), 1),
+                1.005 + 0.0 * ci,
+                name,
+                transform=ax.transAxes,
+                color=colour,
+                fontsize=9,
+                ha="left",
+                va="bottom",
             )
-            patches.append(Polygon(inner, closed=True))
-    resistivities = np.ndarray.flatten(np.flip(formation_parameters[:, 3:], axis=1))
-
-    if borehole_parameters is not None:
-        left = borehole_parameters[:, [1, 0]] * [-1, 1]
-        right = borehole_parameters[:, [1, 0]]
-        patches.append(Polygon(np.vstack([left, np.flip(right, axis=0)]), closed=True))
-        resistivities = np.hstack([resistivities, np.mean(borehole_parameters[:, 2])])
-    borehole_axis = Line2D([0, 0], plot_depth_lim, color="black")
-
-    tracks = 1 if plot_layout == "auto" else len(plot_layout)
-    fig_width = 5 + 5 * tracks
-    fig_height = fig_width * plot_aspect_ratio
-
-    resistivities = resistivities[~np.isnan(resistivities)]
-    collection = PatchCollection(patches, cmap=matplotlib.cm.viridis)
-    collection.set_array(resistivities)
-    if model_res_lim != "auto":
-        collection.set_clim(model_res_lim)
-
-    fig, ax = plt.subplots(
-        1, 1 + tracks, sharey=True, figsize=[fig_width, fig_height], facecolor="white"
-    )
-    ax = np.atleast_1d(ax)
-
-    ax[0].add_collection(collection)
-    ax[0].add_line(borehole_axis)
-    ax[0].margins(x=0, y=0)
-    ax[0].set_xlim(model_rad_lim)
-    ax[0].set_ylim(plot_depth_lim)
-    ax[0].invert_yaxis()
-    ax[0].minorticks_on()
-    ax[0].set_title("Formation model\n" + "dip = " + str(dip) + "\N{DEGREE SIGN}\n")
-    ax[0].set_xlabel("Radial distance [m]", labelpad=10)
-    ax[0].set_ylabel("Depth [m]", labelpad=10)
-    ticks = ax[0].get_xticks()
-    ax[0].xaxis.set_major_locator(ticker.FixedLocator(ticks))
-    ax[0].set_xticklabels(["{0:.2f}".format(abs(t)) for t in ticks])
-    ax[0].xaxis.set_ticks_position("top")
-    ax[0].xaxis.set_label_position("top")
-    ax[0].autoscale_view()
-
-    for track in range(1, tracks + 1):
-        if logs_colours == "auto":
-            track_colours = plt.rcParams["axes.prop_cycle"].by_key()["color"]
-        else:
-            track_colours = logs_colours[track - 1]
-        track_logs = list(logs.keys()) if plot_layout == "auto" else plot_layout[track - 1]
-        axis = ax[track]
-        for i, name in enumerate(track_logs):
-            axis = ax[track] if i == 0 else ax[track].twiny()
-            colour = track_colours[i % len(track_colours)]
-            if logs_at_nan == "break":
-                axis.plot(logs[name][:, 1], logs[name][:, 0], color=colour)
-            elif logs_at_nan == "continue":
-                ok = ~np.isnan(logs[name][:, 1])
-                axis.plot(logs[name][ok, 1], logs[name][ok, 0], color=colour)
-            else:
-                raise ValueError('logs_at_nan paramater has to be set to "break" or "continue"')
-            axis.set_xlabel(name + "\n[ohmm]", color=colour, labelpad=-8)
-            axis.spines["top"].set_color(colour)
-            axis.spines["top"].set_position(("outward", i * 55 + 10))
-            axis.set_xticks(logs_res_lim)
-            axis.tick_params(axis="x", color=colour)
-            axis.set_xlim(logs_res_lim)
-        ax[track].twiny().get_xaxis().set_visible(False)
-    for track in range(1, tracks + 1):
-        ax[track].grid(True)
-        ax[track].xaxis.set_label_position("top")
-        ax[track].xaxis.set_ticks_position("top")
-        ax[track].margins(x=0, y=0)
-        ax[track].autoscale_view()
-
-    fig.colorbar(
-        collection,
-        ax=ax,
-        location="bottom",
-        orientation="horizontal",
-        pad=0.05,
-        label="Resistivity [ohmm]",
-        shrink=min([1, plot_aspect_ratio]),
-    )
+        ax.set_xlim(logs_res_lim)
+        ax.set_xlabel("apparent resistivity [ohmm]")
+        ax.grid(True, which="both", alpha=0.4)
+        ax.tick_params(labelleft=False)
 
     if output_subfolder is not None:
-        plt.savefig(os.path.join(output_subfolder, "Results_plot.png"), bbox_inches="tight")
-    plt.close(fig)
+        fig.savefig(os.path.join(output_subfolder, "Results_plot.png"), dpi=150)
+        plt.close(fig)
+    else:
+        # Interactive mode (reference: output_folder=None displays the figure).
+        plt.show()
     return output_subfolder

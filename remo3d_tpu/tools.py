@@ -98,7 +98,7 @@ def parse_tool(tool: str, force_single_electrode_configuration: bool = True) -> 
     the current electrode(s); K uses the two electrode spacings of the lone pair.
     """
     if not isinstance(tool, str):
-        raise ValueError("Tools names have to be provided in the form of list of strings")
+        raise ValueError("tools must be a list of tool-name strings")
 
     name_for_parse = tool
     if force_single_electrode_configuration and "A" in tool and "B" in tool:
@@ -176,7 +176,7 @@ def parse_tools(
     (remo3d.py:222-228).
     """
     if not isinstance(tools, list) or not all(isinstance(s, str) for s in tools):
-        raise ValueError("Tools names have to be provided in the form of list of strings")
+        raise ValueError("tools must be a list of tool-name strings")
     if not isinstance(force_single_electrode_configuration, bool):
         raise ValueError(
             "The value of parameter force_single_electrode_configuration can be set "

@@ -15,6 +15,13 @@ from .conftest import reference_path
 # Small grid + Jacobi ("local") preconditioner keep CPU compile times test-friendly;
 # the multigrid path has its own dedicated tests in test_ops / test_ops3d.
 SMALL_2D = GridSpec2D(nz=193, nr=41, n_wall_cells=6, n_blend_cells=3)
+_FAST_2D_KWARGS = dict(
+    grid_spec=SMALL_2D,
+    platform="cpu",
+    preconditioner="local",
+    maxiter=20000,
+    verbose=False,
+)
 
 
 def uniform_models(rho=7.0, rad=0.118):
@@ -120,6 +127,35 @@ def test_validation_errors_match_reference():
     # Electrode outside the domain radius.
     with pytest.raises(ValueError):
         m.simulate_logs(np.array([0.0]), domain_radius=2, verbose=False, platform="cpu")
+
+
+def test_units_kwargs_applied_to_array_input():
+    """IN/FT unit lists on ndarray input must match pre-converted meter input
+    (reference remo3d.py:406-437, 470-499; silently dropped in round 1)."""
+    formation_in = np.array([[-1000.0, 1000.0, np.nan, np.nan, 7.0]])
+    borehole_ft = np.array([[-1000.0, 0.6, 7.0], [1000.0, 0.6, 7.0]])
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(
+        formation_in * np.array([1 / 0.0254, 1 / 0.0254, 1, 1, 1]),
+        borehole_ft * np.array([1 / 0.3048, 1 / 0.3048, 1]),
+        formation_units=["IN", "IN", "M"],
+        borehole_units=["FT", "FT"],
+    )
+    assert np.allclose(m.formation_model[:, :2], formation_in[:, :2])
+    assert np.allclose(m.borehole_model[:, 1], borehole_ft[:, 1] / 2)  # diameter->radius
+
+    # And through the one-shot pipeline (forwarding bug in round 1).
+    model = Model.compute_synthetic_logs(
+        ["A2.0M0.5N"],
+        np.array([0.0]),
+        formation_in * np.array([1 / 0.0254, 1 / 0.0254, 1, 1, 1]),
+        borehole_ft * np.array([1 / 0.3048, 1 / 0.3048, 1]),
+        formation_units=["IN", "IN", "M"],
+        borehole_units=["FT", "FT"],
+        **_FAST_2D_KWARGS,
+    )
+    val = model.logs["A2.0M0.5N"][0, 1]
+    assert abs(val - 7.0) / 7.0 < 0.03, val
 
 
 def test_example01_files_load_and_plan():
