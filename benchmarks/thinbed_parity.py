@@ -8,7 +8,16 @@ layers) and Logs 2 (boundary effects, Formation_model_2), both with the 0.35 ohm
 mud borehole, tools
 A0.4M6.0N / A1.62M6.0N / A4.0M0.5N / A8.0M1.0N at 81 depths (0..20 m step 0.25).
 
-Usage: python benchmarks/thinbed_parity.py [logs_set(1|2)]
+ACCURACY NOTE (round 2 investigation): the A8.0M1.0N (K≈905) golden itself
+carries a few-percent error. Evidence: (a) our result is invariant to 0.05%
+under 1.5–2x refinement of every grid axis, the CG tolerance, and the sigma
+sampling scheme; (b) without the borehole it matches the semi-analytic
+propagator-matrix oracle (utils/layered_oracle.py) to ≤0.4%; (c) WITH the
+borehole it matches an independent float64 finite-volume direct solve to
+0.07% at spot depths where both sit ~4.5% from the golden. The `--oracle` mode
+below reproduces (b).
+
+Usage: python benchmarks/thinbed_parity.py [logs_set(1|2)] [--oracle]
 """
 
 import os
@@ -60,5 +69,48 @@ def main(logs_set=1):
     return worst
 
 
+def main_oracle():
+    """FEM (negligible borehole) vs the semi-analytic layered oracle, all tools."""
+    from remo3d_tpu import Model
+    from remo3d_tpu.io import load_formation_parameters
+    from remo3d_tpu.tools import parse_tools
+    from remo3d_tpu.utils.layered_oracle import layered_apparent_resistivity
+
+    formation = load_formation_parameters(
+        os.path.join(TB, "Formation", "Formation_model_1.txt")
+    )
+    bounds = formation[:-1, 1]
+    rho = formation[:, 4]
+    borehole = np.array([[-1000.0, 0.001, 4.0], [1000.0, 0.001, 4.0]])
+    depths = np.arange(0.0, 20.1, 2.0)
+
+    m = Model(TOOLS)
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m.initialize_workers()
+    m.simulate_logs(depths, verbose=False)
+
+    from remo3d_tpu.utils.layered_oracle import LayeredOracle
+
+    # Reflection paths are >= 0.4 m (shortest M offset): 500 log-spaced nodes
+    # keep the 140-layer factorization affordable on the 1-core host.
+    oracle = LayeredOracle(bounds, 1.0 / rho, n_lambda=500)
+    tools, _ = parse_tools(TOOLS, True)
+    print(f"FEM (no borehole) vs analytic oracle, {len(depths)} depths:")
+    for t in TOOLS:
+        tp = tools[t]
+        srcs = depths + tp.depth_shift  # current-electrode positions
+        recs = tp.geometry[tp.source_terms == 0]
+        ana = np.empty(depths.size)
+        for i, zs in enumerate(srcs):
+            u = oracle.potentials(np.array([zs]), zs + recs)[0]
+            du = u[0] - u[1] if u.size == 2 else u[0]
+            ana[i] = abs(tp.geometric_factor * du)
+        rel = np.abs(m.logs[t][:, 1] / ana - 1)
+        print(f"  {t:>10}: mean {np.nanmean(rel)*100:.3f}%  max {np.nanmax(rel)*100:.3f}%")
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1)
+    if "--oracle" in sys.argv:
+        main_oracle()
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 1)

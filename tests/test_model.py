@@ -72,6 +72,44 @@ def test_uniform_medium_3d_matches_true_resistivity():
     assert abs(val - rho) / rho < 0.06, val
 
 
+def test_3d_dip_to_zero_matches_2d_solver():
+    """The strongest 3D oracle without goldens: at dip -> 0 on a layered model
+    the 3D half-ball solve must reproduce the validated 2D axisymmetric solve
+    (VERDICT round 1 #3a). Tolerance reflects the coarse test grids."""
+    formation = np.array(
+        [
+            [-1000.0, -0.4, np.nan, np.nan, 10.0],
+            [-0.4, 0.6, np.nan, np.nan, 60.0],
+            [0.6, 1000.0, np.nan, np.nan, 10.0],
+        ]
+    )
+    borehole = np.array([[-1000.0, 0.1, 0.8], [1000.0, 0.1, 0.8]])
+    depths = np.array([0.0, 0.5])
+
+    m2 = Model(["A1.0M0.2N"])
+    m2.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m2.initialize_workers(cpu_workers=1)
+    m2.simulate_logs(depths, batch_size=1, **_FAST_2D_KWARGS)
+    v2 = m2.logs["A1.0M0.2N"][:, 1]
+
+    m3 = Model(["A1.0M0.2N"])
+    m3.set_model_parameters(
+        formation, borehole, borehole_geometry_type="radius", dip=1e-3
+    )
+    m3.initialize_workers(cpu_workers=1)
+    m3.simulate_logs(
+        depths,
+        batch_size=1,
+        grid_spec3d=GridSpec3D(nz=97, np_=9, nr=33, n_wall_cells=4, n_blend_cells=2),
+        platform="cpu",
+        verbose=False,
+        tol=1e-6,
+    )
+    v3 = m3.logs["A1.0M0.2N"][:, 1]
+    assert np.all(np.isfinite(v3))
+    assert np.max(np.abs(v3 / v2 - 1)) < 0.04, (v2, v3)
+
+
 def test_non_sec_two_current_tool_runs():
     rho = 3.0
     formation, borehole = uniform_models(rho)
