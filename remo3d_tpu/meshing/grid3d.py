@@ -57,6 +57,13 @@ class GridSpec3D:
     blend_m0: float = 0.35
     shear_cap_frac: float = 0.2  # max |shear offset| as a fraction of R
 
+    @classmethod
+    def fast(cls) -> "GridSpec3D":
+        """~2x-faster preset (1.9x fewer nodes): dip->0 consistency vs the 2D
+        solver degrades from ~0.9% (default) to ~1.2%. Pass via
+        ``simulate_logs(grid_spec3d=GridSpec3D.fast())``."""
+        return cls(nz=177, np_=15, nr=45)
+
 
 @dataclasses.dataclass
 class Grid3D:

@@ -70,7 +70,19 @@ def run_pcg(C, b, *, kind, tol, maxiter, damp=1.0):
     def matvec(p):
         return pole_project(stencil3d_apply(C, pole_project(p)))
 
-    if kind == "additive":
+    if kind == "factored":
+        from remo3d_tpu.ops.stencil3d import DIAG
+
+        D = C[..., DIAG][:, None]
+
+        def M_inv(r):
+            z = pole_project(line_apply3(factors["z"], pole_project(r)))
+            z = pole_project(line_apply3(factors["p"], D * z))
+            z = pole_project(line_apply3(factors["r"], D * z))
+            z = pole_project(line_apply3(factors["p"], D * z))
+            z = pole_project(line_apply3(factors["z"], D * z))
+            return damp * z
+    elif kind == "additive":
         def M_inv(r):
             r = pole_project(r)
             return pole_project(sum(line_apply3(f, r) for f in factors.values()) / 3.0)
