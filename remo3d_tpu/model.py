@@ -204,14 +204,19 @@ class Model:
         grid_spec3d=None,
         platform=None,
         verbose=True,
+        profile_dir=None,
+        checkpoint=None,
     ):
         """Simulate all logs (reference remo3d.py:723-884).
 
         TPU-native extras beyond the reference kwargs: ``tol`` (CG relative
         tolerance; None = automatic, 3e-7 for 2D and 1e-5 for the
-        singularity-subtracted 3D solve), ``dtype`` and ``grid_spec`` (grid
-        topology override). ``condense`` is accepted for compatibility; Q1
-        stencils have no interior DOFs to condense.
+        singularity-subtracted 3D solve), ``dtype``, ``grid_spec`` /
+        ``grid_spec3d`` (grid topology override; ``GridSpec3D.fast()`` for a
+        ~2x-faster 3D preset), ``profile_dir`` (write a jax.profiler trace of
+        the solve phase) and ``checkpoint`` (an .npz path: per-chunk results are
+        persisted and an interrupted run resumes). ``condense`` is accepted for
+        compatibility; Q1 stencils have no interior DOFs to condense.
         """
         start_time = datetime.datetime.now()
         measurement_depths = np.asarray(measurement_depths, dtype=float)
@@ -268,6 +273,8 @@ class Model:
             dtype=dtype,
             preconditioner=preconditioner,
             platform=platform,
+            profile_dir=profile_dir,
+            checkpoint=checkpoint,
             **config_kwargs,
         )
         executor = Executor(config)  # compiled programs are cached process-wide

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import sys
 from functools import partial
 
@@ -29,6 +30,7 @@ from ..ops import assemble_stencil_2d, pcg
 from ..ops.multigrid import MGConfig, make_mg_preconditioner
 from ..planner import BatchTask
 from ..utils.timers import PhaseTimers
+from .distributed import gather_result, stage_sharded
 
 MAX_SOURCES = 2  # per solve: one (+1) in SEC form or a (+1, -1) pair
 
@@ -266,6 +268,9 @@ class ExecutorConfig:
     # Host meshing backend: the native C++ builder (native/grid2d.cpp) when
     # available, with transparent fallback to the numpy reference implementation.
     use_native_mesher: bool = True
+    # Observability/durability (SURVEY §5 aux subsystems):
+    profile_dir: str | None = None  # jax.profiler trace of the solve phase
+    checkpoint: str | None = None  # .npz path: per-chunk results, resume on rerun
 
 
 class Executor:
@@ -403,7 +408,25 @@ class Executor:
         grid_shape = g0.coords.shape[:-1]  # (NZ, NR) or (NZ, NP, NR)
         cell_shape = tuple(n - 1 for n in grid_shape)
 
+        # Checkpoint/resume: long (hour-scale 3D) runs persist per-chunk results
+        # so a crashed/preempted run resumes instead of recomputing. The key
+        # guards against resuming a different configuration.
+        ckpt_key = f"{n_measurements}x{n_tools}|{B_total}x{S}|{grid_shape}|{readout_factor}"
+        done_chunks: set[int] = set()
+        if self.config.checkpoint and os.path.exists(self.config.checkpoint):
+            saved = np.load(self.config.checkpoint, allow_pickle=False)
+            if str(saved["key"]) == ckpt_key:
+                results = saved["results"]
+                done_chunks = set(int(c) for c in saved["done_chunks"])
+                if verbose and done_chunks:
+                    print(f"  resuming: {len(done_chunks)} chunks already done")
+
+        if self.config.profile_dir:
+            jax.profiler.start_trace(self.config.profile_dir)
+
         for start in range(0, B_total, chunk):
+            if start in done_chunks:
+                continue
             batch_tasks = tasks[start : start + chunk]
             batch_grids = grids[start : start + chunk]
             B = chunk  # pad to full chunk so one executable serves all dispatches
@@ -431,10 +454,8 @@ class Executor:
                     sigma[bi] = 1.0
                     free[bi] = batch_grids[0].free_mask
 
-            args = [
-                jax.device_put(a, s)
-                for a, s in zip((coords, sigma, free, src_i, src_fac), shardings)
-            ]
+            # Multi-host aware staging (plain device_put single-process).
+            args = stage_sharded([coords, sigma, free, src_i, src_fac], shardings)
 
             with self.timers.phase("solve"):
                 for attempt in range(3):
@@ -454,8 +475,8 @@ class Executor:
                                 maxiter=self.config.maxiter,
                                 preconditioner=self.config.preconditioner,
                             )
-                        u_axis = np.asarray(u_axis)
-                        rel_res = np.asarray(rel_res)
+                        u_axis = gather_result(u_axis)
+                        rel_res = gather_result(rel_res)
                         iters = int(np.asarray(iters))
                         break
                     except jax.errors.JaxRuntimeError as e:
@@ -528,7 +549,20 @@ class Executor:
                 if n_failed:
                     msg += f", {n_failed} FAILED solves -> NaN"
                 print(msg + ")", end="", flush=True)
+
+            if self.config.checkpoint:
+                done_chunks.add(start)
+                tmp = self.config.checkpoint + ".tmp.npz"
+                np.savez(
+                    tmp,
+                    key=ckpt_key,
+                    results=results,
+                    done_chunks=np.array(sorted(done_chunks), dtype=np.int64),
+                )
+                os.replace(tmp, self.config.checkpoint)
         if verbose:
             print()
+        if self.config.profile_dir:
+            jax.profiler.stop_trace()
 
         return results

@@ -167,6 +167,42 @@ def test_validation_errors_match_reference():
         m.simulate_logs(np.array([0.0]), domain_radius=2, verbose=False, platform="cpu")
 
 
+def test_checkpoint_resume(tmp_path):
+    """Per-chunk checkpointing: a completed checkpoint short-circuits the solve
+    (poisoned saved results are returned verbatim), a config change invalidates
+    the key and recomputes."""
+    rho = 5.0
+    formation, borehole = uniform_models(rho)
+    ckpt = str(tmp_path / "run.npz")
+    depths = np.array([0.0, 0.1])
+
+    def run(**kw):
+        m = Model(["A2.0M0.5N"])
+        m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+        m.initialize_workers(cpu_workers=1)
+        m.simulate_logs(depths, checkpoint=ckpt, **_FAST_2D_KWARGS, **kw)
+        return m.logs["A2.0M0.5N"][:, 1]
+
+    v1 = run()
+    assert np.allclose(v1, rho, rtol=0.02)
+    assert os.path.exists(ckpt)
+
+    # Poison the stored results: a resumed run must return them verbatim
+    # (proving no chunk was recomputed).
+    saved = dict(np.load(ckpt, allow_pickle=False))
+    saved["results"] = saved["results"] * 0 + 123.0
+    np.savez(ckpt, **saved)
+    v2 = run()
+    assert np.allclose(v2, 123.0)
+
+    # A different measurement count changes the key -> full recompute.
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    m.initialize_workers(cpu_workers=1)
+    m.simulate_logs(np.array([0.0]), checkpoint=ckpt, **_FAST_2D_KWARGS)
+    assert np.allclose(m.logs["A2.0M0.5N"][:, 1], rho, rtol=0.02)
+
+
 def test_units_kwargs_applied_to_array_input():
     """IN/FT unit lists on ndarray input must match pre-converted meter input
     (reference remo3d.py:406-437, 470-499; silently dropped in round 1)."""
