@@ -81,8 +81,14 @@ def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw):
     return rhs, (g_lift + u_s)[..., :, 0, 0]
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "precond", "adi_damp"))
-def _pcg3(C, b, u_axis_offset, *, tol, maxiter, precond="adi", adi_damp=0.6):
+@partial(
+    jax.jit,
+    static_argnames=("tol", "maxiter", "precond", "adi_damp", "use_pallas"),
+)
+def _pcg3(
+    C, b, u_axis_offset, *, tol, maxiter, precond="adi", adi_damp=0.6,
+    use_pallas=False,
+):
     """Stage 3: pole-tied line-preconditioned CG + axis readout.
 
     Tolerance-controlled CG with exact tridiagonal line solves (factored PCR)
@@ -106,8 +112,21 @@ def _pcg3(C, b, u_axis_offset, *, tol, maxiter, precond="adi", adi_damp=0.6):
     # multiply-adds per PCR level instead of a full re-elimination.
     factors = {d: line_factor3(C, d) for d in ("z", "p", "r")}
 
-    def matvec(p):
-        return pole_project(stencil3d_apply(C, pole_project(p)))
+    if use_pallas:
+        # Symmetric half-plane Pallas stencil: ~half the coefficient traffic
+        # (see ops/pallas_stencil.py).
+        from ..ops.pallas_stencil import half_planes, stencil3d_apply_pallas
+
+        C_half = half_planes(C)
+        n_solves = b.shape[-4]
+
+        def matvec(p):
+            return pole_project(
+                stencil3d_apply_pallas(C_half, pole_project(p), n_solves=n_solves)
+            )
+    else:
+        def matvec(p):
+            return pole_project(stencil3d_apply(C, pole_project(p)))
 
     if precond == "adi":
         def M_inv(r):
@@ -132,7 +151,7 @@ def _pcg3(C, b, u_axis_offset, *, tol, maxiter, precond="adi", adi_damp=0.6):
 
 def _solve_chunk_3d(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
-    precond="adi", adi_damp=0.6,
+    precond="adi", adi_damp=0.6, use_pallas=False,
 ):
     """3D chunk solve: hex assembly + singularity subtraction + pole-tied line-CG.
 
@@ -170,7 +189,7 @@ def _solve_chunk_3d(
         u_axis_offset = jnp.zeros(b.shape[:-3] + (nz,), dtype=b.dtype)
     return _pcg3(
         C, b, u_axis_offset, tol=tol, maxiter=maxiter, precond=precond,
-        adi_damp=adi_damp,
+        adi_damp=adi_damp, use_pallas=use_pallas,
     )
 
 
@@ -260,6 +279,10 @@ class ExecutorConfig:
     preconditioner: str = "multigrid"  # "local" (Jacobi) or "multigrid"
     precond3d: str = "adi"  # "adi" (damped z-p-r-p-z sweep) or "lines" (additive)
     adi_damp: float = 0.6
+    # Symmetric half-plane Pallas stencil for the 3D operator (7x faster chunks
+    # on v5e vs the XLA 27-plane apply inside the CG loop). None = auto: on for
+    # accelerator backends, off for CPU (the kernel needs real TPU hardware).
+    use_pallas_stencil: bool | None = None
     platform: str | None = None  # None = JAX default (TPU when present); "cpu" for tests
     # A solve is declared failed (NaN readouts, matching the reference's per-task NaN
     # containment, worker.py:135-138) only above this attained relative residual;
@@ -461,12 +484,18 @@ class Executor:
                 for attempt in range(3):
                     try:
                         if is_3d:
+                            use_pallas = self.config.use_pallas_stencil
+                            if use_pallas is None:
+                                use_pallas = (
+                                    self._devices[0].platform != "cpu"
+                                )
                             u_axis, rel_res, iters = _solve_chunk_3d(
                                 *args,
                                 tol=self.config.tol,
                                 maxiter=self.config.maxiter,
                                 precond=self.config.precond3d,
                                 adi_damp=self.config.adi_damp,
+                                use_pallas=use_pallas,
                             )
                         else:
                             u_axis, rel_res, iters = _solve_chunk(
