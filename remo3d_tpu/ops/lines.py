@@ -147,6 +147,43 @@ def _thomas(dl, d, du, b):
     return x_rev
 
 
+_LINE_AXES_2D = {  # direction -> ((dl sel, d sel, du sel), axis)
+    "r": (((1, 0), (1, 1), (1, 2)), -1),
+    "z": (((0, 1), (1, 1), (2, 1)), -2),
+}
+
+
+def line_factor_2d(C, direction: str, max_steps=None):
+    """Factorize the tridiagonal line part of the 9-pt stencil along r or z.
+
+    Computed once per assembled operator; applications via :func:`line_apply_2d`
+    then cost two shifted multiply-adds per PCR level — the hot path of the 2D
+    multigrid smoothers (the coefficients are per-batch, NOT per-solve, so the
+    elimination algebra is also amortized over the solve axis).
+    """
+    (lo, mid, hi), axis = _LINE_AXES_2D[direction]
+    steps, dinv = pcr_factor(
+        C[..., lo[0], lo[1]],
+        C[..., mid[0], mid[1]],
+        C[..., hi[0], hi[1]],
+        axis=axis,
+        max_steps=max_steps,
+    )
+    return steps, dinv, axis
+
+
+def line_apply_2d(factors, b):
+    """Apply a :func:`line_factor_2d` factorization to b (extra solve axis OK)."""
+    steps, dinv, axis = factors
+    extra = b.ndim - dinv.ndim
+    if extra:
+        steps = [
+            (jnp.expand_dims(al, -3), jnp.expand_dims(be, -3)) for al, be in steps
+        ]
+        dinv = jnp.expand_dims(dinv, -3)
+    return pcr_apply(steps, dinv, b, axis=axis)
+
+
 def line_solve_r(C, b):
     """Solve the radial-line tridiagonal part: couplings (1,0),(1,1),(1,2).
 

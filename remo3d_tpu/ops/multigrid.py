@@ -36,6 +36,10 @@ class MGConfig:
     coarse_degree: int = 24  # Chebyshev degree on the coarsest level
     lower_frac: float = 0.25  # target interval [lower_frac*lmax, 1.05*lmax]
     power_iters: int = 12
+    # Factored-PCR line smoothers (elimination coefficients computed once per
+    # level): ~1.5x faster V-cycles on TPU, but the factored graph sends the
+    # XLA *CPU* backend's compile time through the roof — keep False on CPU.
+    factored_lines: bool = False
     # Inner preconditioner of the Chebyshev smoother: "line_rz" is additive
     # alternating-direction line relaxation (radial + axial tridiagonal solves) —
     # required because the graded tensor grid carries BOTH anisotropy orientations
@@ -127,9 +131,16 @@ def galerkin_coarsen(C: jnp.ndarray, coarse_free: jnp.ndarray) -> jnp.ndarray:
     return apply_dirichlet(CH, coarse_free)
 
 
-def _make_precond(C, inv_diag, free, smoother: str):
-    """Inner smoother preconditioner apply: r -> M^{-1} r (identity on Dirichlet)."""
-    from .lines import line_solve_r, line_solve_z
+def _make_precond(C, inv_diag, free, smoother: str, factored: bool = False):
+    """Inner smoother preconditioner apply: r -> M^{-1} r (identity on Dirichlet).
+
+    With ``factored`` the tridiagonal line parts are FACTORED once per level —
+    the PCR elimination coefficients depend only on the operator, so every
+    smoother application pays two shifted multiply-adds per reduction level
+    instead of a full re-elimination broadcast over the solve axis. (TPU only:
+    the factored graph blows up the XLA CPU backend's compile time.)
+    """
+    from .lines import line_apply_2d, line_factor_2d, line_solve_r, line_solve_z
 
     if smoother == "jacobi":
 
@@ -138,15 +149,30 @@ def _make_precond(C, inv_diag, free, smoother: str):
             return inv_d * r
 
     elif smoother == "line_r":
+        if factored:
+            f_r = line_factor_2d(C, "r")
 
-        def apply_(r):
-            return line_solve_r(C, r)
+            def apply_(r):
+                return line_apply_2d(f_r, r)
+
+        else:
+
+            def apply_(r):
+                return line_solve_r(C, r)
 
     elif smoother == "line_rz":
+        if factored:
+            f_r = line_factor_2d(C, "r")
+            f_z = line_factor_2d(C, "z")
 
-        def apply_(r):
-            # Additive ADI: symmetric (PCG-safe) and covers both orientations.
-            return 0.5 * (line_solve_r(C, r) + line_solve_z(C, r))
+            def apply_(r):
+                # Additive ADI: symmetric (PCG-safe), both orientations.
+                return 0.5 * (line_apply_2d(f_r, r) + line_apply_2d(f_z, r))
+
+        else:
+
+            def apply_(r):
+                return 0.5 * (line_solve_r(C, r) + line_solve_z(C, r))
 
     else:
         raise ValueError(f"unknown smoother {smoother!r}")
@@ -218,7 +244,9 @@ def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig, C_fine=Non
     for l in range(config.n_levels):
         diag = stencil_diag(C)
         inv_diag = 1.0 / jnp.where(diag != 0, diag, 1.0)
-        precond = _make_precond(C, inv_diag, free_mask, config.smoother)
+        precond = _make_precond(
+            C, inv_diag, free_mask, config.smoother, config.factored_lines
+        )
         levels.append(
             {
                 "C": C,

@@ -194,10 +194,12 @@ def _solve_chunk_3d(
 
 
 @partial(
-    jax.jit, static_argnames=("tol", "maxiter", "preconditioner", "subtract")
+    jax.jit,
+    static_argnames=("tol", "maxiter", "preconditioner", "subtract", "factored_lines"),
 )
 def _solve_chunk(
-    coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner, subtract=True
+    coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner,
+    subtract=True, factored_lines=False,
 ):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
 
@@ -235,7 +237,9 @@ def _solve_chunk(
             coords,
             sigma,
             free,
-            MGConfig(n_levels=_feasible_mg_levels(nz, nr)),
+            MGConfig(
+                n_levels=_feasible_mg_levels(nz, nr), factored_lines=factored_lines
+            ),
             C_fine=C_fine,
         )
     else:
@@ -503,6 +507,12 @@ class Executor:
                                 tol=self.config.tol,
                                 maxiter=self.config.maxiter,
                                 preconditioner=self.config.preconditioner,
+                                # Factored-PCR smoothers: faster V-cycles on
+                                # accelerators; the factored graph stalls the
+                                # XLA CPU compiler, so CPU keeps the old path.
+                                factored_lines=(
+                                    self._devices[0].platform != "cpu"
+                                ),
                             )
                         u_axis = gather_result(u_axis)
                         rel_res = gather_result(rel_res)
