@@ -298,6 +298,9 @@ class ExecutorConfig:
     # Observability/durability (SURVEY §5 aux subsystems):
     profile_dir: str | None = None  # jax.profiler trace of the solve phase
     checkpoint: str | None = None  # .npz path: per-chunk results, resume on rerun
+    # Chunks staged+dispatched ahead of the gather point; overlaps host staging
+    # and transfers with device solves. 1 = fully serial (old behavior).
+    pipeline_window: int = 3
 
 
 class Executor:
@@ -451,9 +454,34 @@ class Executor:
         if self.config.profile_dir:
             jax.profiler.start_trace(self.config.profile_dir)
 
-        for start in range(0, B_total, chunk):
-            if start in done_chunks:
-                continue
+        def dispatch(args):
+            """Launch one chunk solve; returns lazy (u_axis, rel_res, iters)."""
+            on_accel = self._devices[0].platform != "cpu"
+            if is_3d:
+                use_pallas = self.config.use_pallas_stencil
+                if use_pallas is None:
+                    use_pallas = on_accel
+                return _solve_chunk_3d(
+                    *args,
+                    tol=self.config.tol,
+                    maxiter=self.config.maxiter,
+                    precond=self.config.precond3d,
+                    adi_damp=self.config.adi_damp,
+                    use_pallas=use_pallas,
+                )
+            return _solve_chunk(
+                *args,
+                tol=self.config.tol,
+                maxiter=self.config.maxiter,
+                preconditioner=self.config.preconditioner,
+                # Factored-PCR smoothers: faster V-cycles on accelerators; the
+                # factored graph stalls the XLA CPU compiler, so CPU keeps the
+                # original in-line elimination path.
+                factored_lines=on_accel,
+            )
+
+        def stage(start):
+            """Assemble one chunk's arrays host-side and place them on devices."""
             batch_tasks = tasks[start : start + chunk]
             batch_grids = grids[start : start + chunk]
             B = chunk  # pad to full chunk so one executable serves all dispatches
@@ -463,66 +491,74 @@ class Executor:
             free = np.zeros((B,) + grid_shape, dtype=bool)
             src_i = np.zeros((B, S, MAX_SOURCES), dtype=np.int32)
             src_fac = np.zeros((B, S, MAX_SOURCES), dtype=dtype)
+            for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
+                coords[bi] = g.coords
+                sigma[bi] = g.sigma_cells
+                free[bi] = g.free_mask
+                for si, s in enumerate(t.solves):
+                    for k, (pos, fac) in enumerate(
+                        zip(s.source_positions, s.source_terms)
+                    ):
+                        src_i[bi, si, k] = g.axis_node_index(pos)
+                        src_fac[bi, si, k] = fac
+            # Keep padded lanes numerically benign: unit coords, sigma 1.
+            for bi in range(len(batch_tasks), B):
+                coords[bi] = batch_grids[0].coords
+                sigma[bi] = 1.0
+                free[bi] = batch_grids[0].free_mask
+            # Multi-host aware placement (plain device_put single-process).
+            return stage_sharded([coords, sigma, free, src_i, src_fac], shardings)
 
-            with self.timers.phase("stage"):
-                for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
-                    coords[bi] = g.coords
-                    sigma[bi] = g.sigma_cells
-                    free[bi] = g.free_mask
-                    for si, s in enumerate(t.solves):
-                        for k, (pos, fac) in enumerate(
-                            zip(s.source_positions, s.source_terms)
-                        ):
-                            src_i[bi, si, k] = g.axis_node_index(pos)
-                            src_fac[bi, si, k] = fac
-                # Keep padded lanes numerically benign: unit coords, sigma 1.
-                for bi in range(len(batch_tasks), B):
-                    coords[bi] = batch_grids[0].coords
-                    sigma[bi] = 1.0
-                    free[bi] = batch_grids[0].free_mask
+        # PIPELINED execution: chunks are staged and dispatched up to
+        # ``window`` ahead of the gather point, so host staging and
+        # host->device transfers overlap the device solves (the reference
+        # overlaps by running many MPI workers; here the async dispatch queue
+        # plays that role).
+        window = max(1, int(self.config.pipeline_window))
+        todo = [s for s in range(0, B_total, chunk) if s not in done_chunks]
+        inflight: list[tuple[int, list, object]] = []  # (start, args, lazy)
+        next_i = 0
 
-            # Multi-host aware staging (plain device_put single-process).
-            args = stage_sharded([coords, sigma, free, src_i, src_fac], shardings)
+        def fill_pipeline():
+            nonlocal next_i
+            while next_i < len(todo) and len(inflight) < window:
+                s0 = todo[next_i]
+                next_i += 1
+                with self.timers.phase("stage"):
+                    args = stage(s0)
+                try:
+                    lazy = dispatch(args)
+                except jax.errors.JaxRuntimeError as e:
+                    print(
+                        f"solve chunk dispatch failed: "
+                        f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
+                        file=sys.stderr,
+                    )
+                    lazy = None  # retried at gather time
+                inflight.append((s0, args, lazy))
+
+        fill_pipeline()
+        while inflight:
+            start, args, lazy = inflight.pop(0)
+            batch_tasks = tasks[start : start + chunk]
+            batch_grids = grids[start : start + chunk]
+            B = chunk
 
             with self.timers.phase("solve"):
                 for attempt in range(3):
                     try:
-                        if is_3d:
-                            use_pallas = self.config.use_pallas_stencil
-                            if use_pallas is None:
-                                use_pallas = (
-                                    self._devices[0].platform != "cpu"
-                                )
-                            u_axis, rel_res, iters = _solve_chunk_3d(
-                                *args,
-                                tol=self.config.tol,
-                                maxiter=self.config.maxiter,
-                                precond=self.config.precond3d,
-                                adi_damp=self.config.adi_damp,
-                                use_pallas=use_pallas,
-                            )
-                        else:
-                            u_axis, rel_res, iters = _solve_chunk(
-                                *args,
-                                tol=self.config.tol,
-                                maxiter=self.config.maxiter,
-                                preconditioner=self.config.preconditioner,
-                                # Factored-PCR smoothers: faster V-cycles on
-                                # accelerators; the factored graph stalls the
-                                # XLA CPU compiler, so CPU keeps the old path.
-                                factored_lines=(
-                                    self._devices[0].platform != "cpu"
-                                ),
-                            )
-                        u_axis = gather_result(u_axis)
-                        rel_res = gather_result(rel_res)
-                        iters = int(np.asarray(iters))
+                        if lazy is None:
+                            lazy = dispatch(args)
+                        u_axis = gather_result(lazy[0])
+                        rel_res = gather_result(lazy[1])
+                        iters = int(np.asarray(lazy[2]))
                         break
                     except jax.errors.JaxRuntimeError as e:
-                        # The remote-TPU (axon) runtime intermittently drops the
-                        # worker; retry the chunk — fault containment beats
-                        # aborting the whole log (reference parity: per-task NaN,
-                        # worker.py:135-138).
+                        # The remote-TPU (axon) runtime intermittently drops
+                        # the worker; retry the chunk — fault containment
+                        # beats aborting the whole log (reference parity:
+                        # per-task NaN, worker.py:135-138).
+                        lazy = None
                         print(
                             f"solve chunk failed (attempt {attempt + 1}/3): "
                             f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
@@ -533,6 +569,8 @@ class Executor:
                             rel_res = np.full((B, S), np.inf)
                             iters = -1
                             break
+            del args
+            fill_pipeline()
 
             n_failed = 0
             n_nan = 0
