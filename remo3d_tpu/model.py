@@ -28,8 +28,13 @@ from .tools import parse_tools
 # Allowed units conversion table (reference remo3d.py:26).
 conversion_table = mio.CONVERSION_TABLE
 
-# Mesh-density presets: the `mesh_generator` knob of the reference selects between
-# netgen and gmsh; here it selects the grid preset (both produce the same physics).
+# The reference's `mesh_generator` knob selects between two third-party meshers
+# (netgen vs gmsh, remo3d.py:776-784) that produce DIFFERENT unstructured meshes.
+# In the fixed-topology design there is one tuned boundary-fitted grid, so both
+# names DELIBERATELY resolve to the same preset: the knob is accepted (and
+# validated — 3D still requires "gmsh") purely for script compatibility, and the
+# physics is mesh-generator-independent. Use `grid_spec`/`grid_spec3d` to change
+# resolution instead.
 _GRID_PRESETS = {
     "netgen": GridSpec2D(),
     "gmsh": GridSpec2D(),
@@ -217,6 +222,9 @@ class Model:
         the solve phase) and ``checkpoint`` (an .npz path: per-chunk results are
         persisted and an interrupted run resumes). ``condense`` is accepted for
         compatibility; Q1 stencils have no interior DOFs to condense.
+        ``mesh_generator`` is likewise compatibility-only: "netgen" and "gmsh"
+        resolve to the SAME fixed-topology grid preset (see ``_GRID_PRESETS``) —
+        use ``grid_spec``/``grid_spec3d`` to change resolution.
         """
         start_time = datetime.datetime.now()
         measurement_depths = np.asarray(measurement_depths, dtype=float)

@@ -14,32 +14,69 @@ Single-process runs are unaffected — every helper degrades to a no-op.
 
 from __future__ import annotations
 
+import os
+import warnings
+
 import jax
 import numpy as np
+
+# Tracks whether THIS module already attempted jax.distributed.initialize();
+# querying jax.process_count() would itself initialize the XLA backend and make
+# a later initialize() call impossible, so the guard must not touch the backend.
+_init_attempted = False
 
 
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
-) -> None:
+) -> bool:
     """Initialize `jax.distributed` for multi-host runs (idempotent).
 
+    Must be called BEFORE any other JAX API (anything that touches the XLA
+    backend — even ``jax.process_count()`` — locks out distributed init).
     With no arguments, relies on the cluster environment (TPU pods auto-detect
-    coordinator/process ranks). No-op if already initialized or single-host.
+    coordinator/process ranks). Returns True when a multi-process service is
+    up, False for a plain single-host run.
+
+    Failure policy: explicit arguments mean the caller *expects* a cluster, so
+    errors re-raise; the no-argument auto-detect form degrades to single-host
+    with a warning only when cluster environment variables are present.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _init_attempted
+    if jax.distributed.is_initialized():
+        return True
+    if _init_attempted:
+        return False
+    _init_attempted = True
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # Already initialized, or a single-process environment without a
-        # coordinator: both are fine - run single-host.
-        pass
+        return True
+    except Exception as e:
+        if explicit:
+            raise
+        cluster_hints = [
+            k
+            for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES")
+            if os.environ.get(k)
+        ]
+        if cluster_hints:
+            warnings.warn(
+                f"jax.distributed.initialize() failed ({type(e).__name__}: {e}) "
+                f"despite cluster env vars {cluster_hints}; running single-host",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return False
 
 
 def is_multiprocess() -> bool:

@@ -440,8 +440,56 @@ class Executor:
 
         # Checkpoint/resume: long (hour-scale 3D) runs persist per-chunk results
         # so a crashed/preempted run resumes instead of recomputing. The key
-        # guards against resuming a different configuration.
-        ckpt_key = f"{n_measurements}x{n_tools}|{B_total}x{S}|{grid_shape}|{readout_factor}"
+        # guards against resuming a different configuration: it hashes the full
+        # solver config, the chunk partitioning (chunk-start offsets are only
+        # meaningful for the stride that produced them) and the model content
+        # (grid coordinates + conductivities + source/readout plan), so a rerun
+        # with a tighter tol, a different device count, or an edited same-shape
+        # formation recomputes instead of silently returning stale results.
+        ckpt_key = None
+        if self.config.checkpoint:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            spec_sig = dataclasses.astuple(
+                self.config.spec3d if is_3d else self.config.spec
+            )
+            cfg_sig = (
+                self.config.tol,
+                self.config.maxiter,
+                self.config.preconditioner,
+                self.config.precond3d,
+                self.config.adi_damp,
+                self.config.fail_residual,
+                readout_factor,
+                chunk,
+                spec_sig,
+            )
+            h.update(repr(cfg_sig).encode())
+            for t, g in zip(tasks, grids):
+                h.update(np.ascontiguousarray(g.coords).tobytes())
+                h.update(np.ascontiguousarray(g.sigma_cells).tobytes())
+                for s in t.solves:
+                    h.update(
+                        repr(
+                            (
+                                list(np.asarray(s.source_positions).ravel()),
+                                list(np.asarray(s.source_terms).ravel()),
+                                [
+                                    (
+                                        ro.measurement_index,
+                                        ro.tool_index,
+                                        ro.geometric_factor,
+                                        list(np.asarray(ro.measuring_positions).ravel()),
+                                    )
+                                    for ro in s.readouts
+                                ],
+                            )
+                        ).encode()
+                    )
+            ckpt_key = (
+                f"{n_measurements}x{n_tools}|{B_total}x{S}|{grid_shape}|{h.hexdigest()}"
+            )
         done_chunks: set[int] = set()
         if self.config.checkpoint and os.path.exists(self.config.checkpoint):
             saved = np.load(self.config.checkpoint, allow_pickle=False)
@@ -460,7 +508,12 @@ class Executor:
             if is_3d:
                 use_pallas = self.config.use_pallas_stencil
                 if use_pallas is None:
-                    use_pallas = on_accel
+                    # Auto mode stays off on multi-device meshes: an opaque
+                    # pallas_call inside the sharded jit makes GSPMD replicate
+                    # its operands (defeating the batch sharding and risking
+                    # OOM); the single-device case is where the kernel's 7x
+                    # win was measured. Explicit True still forces it on.
+                    use_pallas = on_accel and n_dev == 1
                 return _solve_chunk_3d(
                     *args,
                     tol=self.config.tol,

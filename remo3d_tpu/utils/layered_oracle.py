@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# np.trapezoid is NumPy >= 2.0; keep 1.x environments working (np.trapz was
+# removed in 2.x, so probe rather than pin).
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 class LayeredOracle:
     """Precomputes the interface system for a layer stack; solves many sources
@@ -79,14 +83,34 @@ class LayeredOracle:
     def _b(i):  # B_i exists for i <= N-2
         return 2 * i
 
-    def potentials(self, z_sources: np.ndarray, z_receivers: np.ndarray, current=1.0):
-        """u[si, rj] for every (source, receiver) pair — one batched solve."""
+    def potentials(
+        self,
+        z_sources: np.ndarray,
+        z_receivers: np.ndarray,
+        current=1.0,
+        r_receivers: np.ndarray | float | None = None,
+    ):
+        """u[si, rj] for every (source, receiver) pair — one batched solve.
+
+        ``r_receivers`` (optional): horizontal (cylindrical-radial) distance of
+        each receiver from its source's vertical axis; scalar, (n_rec,), or
+        (n_src, n_rec). Off-axis evaluation inserts the Bessel factor
+        ``J0(lambda*r)`` into the Hankel kernel — this is what lets a rigidly
+        rotated (dipping-layer) problem be evaluated exactly: rotate the
+        electrode line into the layer frame and the receivers land off-axis.
+        """
         z_sources = np.atleast_1d(np.asarray(z_sources, dtype=float))
         z_receivers = np.atleast_1d(np.asarray(z_receivers, dtype=float))
         lam = self.lam
         sig = self.sigmas
         b = self.boundaries
         n_src = z_sources.size
+        if r_receivers is None:
+            r_rec = np.zeros((n_src, z_receivers.size))
+        else:
+            r_rec = np.broadcast_to(
+                np.asarray(r_receivers, dtype=float), (n_src, z_receivers.size)
+            )
 
         s_idx = np.searchsorted(b, z_sources)
         C = current / (4.0 * np.pi * sig[s_idx])  # (n_src,)
@@ -105,6 +129,9 @@ class LayeredOracle:
         x = self._Minv @ rhs  # (n_lambda, n_unk, n_src)
 
         out = np.empty((n_src, z_receivers.size))
+        on_axis = not np.any(r_rec)
+        if not on_axis:
+            from scipy.special import j0
         for j, zr in enumerate(z_receivers):
             i = int(np.searchsorted(b, zr))
             psi = np.zeros((lam.size, n_src))
@@ -112,8 +139,15 @@ class LayeredOracle:
                 psi += x[:, self._a(i), :] * np.exp(-lam * (zr - self.tops[i]))[:, None]
             if i <= self.n_layers - 2:
                 psi += x[:, self._b(i), :] * np.exp(lam * (zr - self.bots[i]))[:, None]
-            integral = np.trapezoid(psi, lam, axis=0) + psi[0] * lam[0]
-            out[:, j] = C / np.abs(zr - z_sources) + integral
+            if on_axis:
+                integral = _trapezoid(psi, lam, axis=0) + psi[0] * lam[0]
+                out[:, j] = C / np.abs(zr - z_sources) + integral
+            else:
+                # J0(lam*r) per source column (r may differ across sources).
+                bess = j0(lam[:, None] * r_rec[:, j][None, :])
+                integral = _trapezoid(psi * bess, lam, axis=0) + (psi * bess)[0] * lam[0]
+                dist = np.sqrt(r_rec[:, j] ** 2 + (zr - z_sources) ** 2)
+                out[:, j] = C / dist + integral
         return out
 
 

@@ -195,6 +195,22 @@ def test_checkpoint_resume(tmp_path):
     v2 = run()
     assert np.allclose(v2, 123.0)
 
+    # A solver-config change (tol) changes the key -> full recompute, even
+    # though every array shape matches (round-2 staleness bug).
+    v3 = run(tol=1e-7)
+    assert np.allclose(v3, rho, rtol=0.02), v3
+
+    # A same-shape MODEL change must also invalidate (content hash): restore
+    # the poisoned checkpoint (old key) — a content-blind key would match it.
+    np.savez(ckpt, **saved)
+    formation2 = formation.copy()
+    formation2[0, 4] = 2 * rho
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(formation2, borehole, borehole_geometry_type="radius")
+    m.initialize_workers(cpu_workers=1)
+    m.simulate_logs(depths, checkpoint=ckpt, **_FAST_2D_KWARGS)
+    assert not np.allclose(m.logs["A2.0M0.5N"][:, 1], 123.0)
+
     # A different measurement count changes the key -> full recompute.
     m = Model(["A2.0M0.5N"])
     m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")

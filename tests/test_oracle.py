@@ -40,6 +40,28 @@ def test_oracle_two_halfspaces_matches_image_solution():
         assert abs(u / exact - 1) < 1e-4, zr
 
 
+def test_oracle_offaxis_matches_image_solution():
+    """Off-axis (J0 Hankel) evaluation — the rotated-frame dipping anchor path —
+    vs the exact image-charge solution for two half-spaces."""
+    from remo3d_tpu.utils.layered_oracle import LayeredOracle
+
+    s1, s2 = 0.5, 0.1
+    refl = (s1 - s2) / (s1 + s2)
+    oracle = LayeredOracle(np.array([0.0]), np.array([s1, s2]), n_lambda=4000)
+    z_src = -1.0
+    for r, zr in [(0.5, -3.0), (1.0, -0.5), (2.0, -2.0), (0.7, 1.5)]:
+        u = oracle.potentials(
+            np.array([z_src]), np.array([zr]), r_receivers=r
+        )[0, 0]
+        d_src = np.hypot(r, zr - z_src)
+        d_img = np.hypot(r, zr + z_src)  # image mirrored across z=0
+        if zr < 0:
+            exact = 1 / (4 * np.pi * s1) * (1 / d_src + refl / d_img)
+        else:
+            exact = (1 + refl) / (4 * np.pi * s1 * d_src)
+        assert abs(u / exact - 1) < 2e-4, (r, zr, u, exact)
+
+
 def test_oracle_reciprocity():
     # Swap source and receiver across a layer stack: potentials must match.
     bounds = np.array([-0.5, 0.0, 0.4, 1.1])

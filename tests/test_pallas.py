@@ -1,9 +1,12 @@
 # -*- coding: utf-8 -*-
-"""Pallas PCR kernel parity vs the XLA line-apply path (interpreter on CPU).
+"""Pallas kernel parity vs the XLA paths (interpreter on CPU).
 
-Opt-in (REMO3D_RUN_SLOW=1): the Pallas interpreter costs ~1.5 min on the 1-core
-CI host. On real TPU hardware the kernel is bit-exact vs the XLA path (verified
-on v5e; see ops/pallas_lines.py notes).
+The production 3D stencil kernel (ops/pallas_stencil.py — the default CG
+operator on accelerators, runtime.py dispatch) is tested BY DEFAULT on a small
+grid; the interpreter run costs a few seconds. The PCR line kernel test stays
+opt-in (REMO3D_RUN_SLOW=1): its interpreter run costs ~1.5 min on the 1-core
+CI host. On real TPU hardware both kernels are bit-exact vs the XLA paths
+(verified on v5e).
 """
 
 import os
@@ -14,7 +17,77 @@ import numpy as np
 import pytest
 
 from remo3d_tpu.ops.lines3d import line_apply3, line_factor3
-from remo3d_tpu.ops.stencil3d import entry_index
+from remo3d_tpu.ops.stencil3d import entry_index, stencil3d_apply
+
+
+def _random_symmetric_stencil(rng, B, NZ, NP, NR):
+    """Random 27-point stencil with FEM symmetry C[n, d] == C[n+d, -d] and
+    zero coupling across the grid boundary (the structure half_planes assumes)."""
+    C = np.zeros((B, NZ, NP, NR, 27), dtype=np.float32)
+    C[..., entry_index(0, 0, 0)] = 10.0 + rng.random((B, NZ, NP, NR))
+    offs = [
+        (dz, dp, dr)
+        for dz in (-1, 0, 1)
+        for dp in (-1, 0, 1)
+        for dr in (-1, 0, 1)
+        if (dz, dp, dr) > (0, 0, 0)
+    ]
+    for dz, dp, dr in offs:
+        h = rng.standard_normal((B, NZ, NP, NR)).astype(np.float32)
+        # Zero the entries whose +d neighbor would fall outside the grid.
+        sl = [slice(None)] * 4
+        for ax, d, n in ((1, dz, NZ), (2, dp, NP), (3, dr, NR)):
+            if d > 0:
+                sl[ax] = slice(0, n - d)
+            elif d < 0:
+                sl[ax] = slice(-d, n)
+        mask = np.zeros((B, NZ, NP, NR), dtype=bool)
+        mask[tuple(sl)] = True
+        h *= mask
+        C[..., entry_index(dz, dp, dr)] = h
+        # Mirror: the coupling seen from the neighbor node.
+        hm = np.zeros_like(h)
+        src = [slice(None)] * 4
+        dst = [slice(None)] * 4
+        for ax, d, n in ((1, dz, NZ), (2, dp, NP), (3, dr, NR)):
+            if d > 0:
+                src[ax], dst[ax] = slice(0, n - d), slice(d, n)
+            elif d < 0:
+                src[ax], dst[ax] = slice(-d, n), slice(0, n + d)
+        hm[tuple(dst)] = h[tuple(src)]
+        C[..., entry_index(-dz, -dp, -dr)] = hm
+    return C
+
+
+def test_pallas_stencil3d_matches_xla_apply():
+    """The production symmetric half-plane stencil kernel (the default 3D CG
+    matvec on accelerators) vs the plain XLA 27-plane apply, via the Pallas
+    interpreter. Runs by default — this is the hot operator of the 3D path.
+    Pinned to CPU: on the remote-TPU (axon) host every un-jitted op would
+    otherwise dispatch a remote compile."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from remo3d_tpu.ops import pallas_stencil
+
+    rng = np.random.default_rng(7)
+    B, S, NZ, NP, NR = 1, 2, 6, 3, 5
+    with jax.default_device(jax.devices("cpu")[0]):
+        C = jnp.asarray(_random_symmetric_stencil(rng, B, NZ, NP, NR))
+        u = jnp.asarray(rng.standard_normal((B, S, NZ, NP, NR)).astype(np.float32))
+
+        ref = stencil3d_apply(C, u)
+        C_half = pallas_stencil.half_planes(C)
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        ):
+            out = pallas_stencil.stencil3d_apply_pallas(C_half, u, n_solves=S)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
+        )
 
 
 @pytest.mark.skipif(
