@@ -1,5 +1,6 @@
 # -*- coding: utf-8 -*-
-"""3D numerics tests on tiny grids (CPU): assembly, pole tying, line solves, MG."""
+"""3D numerics tests on tiny grids (CPU): assembly, pole tying, line solves,
+and the production ADI line-preconditioned CG."""
 
 import jax
 import jax.numpy as jnp
@@ -10,13 +11,6 @@ from remo3d_tpu.meshing.carve import carve_local_model
 from remo3d_tpu.meshing.grid3d import GridSpec3D, build_grid3d
 from remo3d_tpu.ops.assembly3d import assemble_stencil_3d, element_matrices_3d
 from remo3d_tpu.ops.lines3d import line_solve_r3
-from remo3d_tpu.ops.multigrid3d import (
-    MGConfig3D,
-    build_hierarchy3,
-    mg_pcg3,
-    prolong3,
-    restrict3,
-)
 from remo3d_tpu.ops.stencil3d import pole_project, stencil3d_apply
 
 cpu = jax.devices("cpu")[0]
@@ -147,31 +141,27 @@ def test_line_solve_r3_matches_tridiagonal():
         assert np.allclose(T @ x[i, j], np.asarray(b)[i, j], atol=2e-4 * np.abs(T).max())
 
 
-def test_prolong_restrict3_adjoint():
-    with jax.default_device(cpu):
-        rng = np.random.default_rng(3)
-        zc = jnp.asarray(rng.standard_normal((5, 3, 4)), jnp.float32)
-        rf = jnp.asarray(rng.standard_normal((9, 5, 7)), jnp.float32)
-        lhs = float(jnp.sum(prolong3(zc) * rf))
-        rhs = float(jnp.sum(zc * restrict3(rf)))
-        assert abs(lhs - rhs) < 1e-4 * (abs(lhs) + 1)
+def test_line_pcg3_solves_and_ties_pole():
+    """The PRODUCTION 3D solve path (ADI line-preconditioned CG, the same
+    _solve_chunk_3d stage the executor dispatches) on a tiny grid: converges,
+    ties the pole, and decays away from the source."""
+    from remo3d_tpu.parallel.runtime import _pcg3
 
-
-def test_mg_pcg3_solves_and_ties_pole():
     with jax.default_device(cpu):
         g = tiny_grid()
-        coords = jnp.asarray(g.coords[None], jnp.float32)
-        sigma = jnp.asarray(g.sigma_cells[None], jnp.float32)
-        free = jnp.asarray(g.free_mask[None])
-        cfg = MGConfig3D(n_levels=3)
-        levels = build_hierarchy3(coords, sigma, free, cfg)
+        C = assemble_stencil_3d(
+            jnp.asarray(g.coords[None], jnp.float32),
+            jnp.asarray(g.sigma_cells[None], jnp.float32),
+            jnp.asarray(g.free_mask[None]),
+        )
         i_src = g.axis_node_index(0.0)
         b = jnp.zeros((1, 1) + g.free_mask.shape, jnp.float32)
         b = b.at[0, 0, i_src, :, 0].set(1.0 / SPEC.np_)
-        u, rel, iters = mg_pcg3(levels, b, config=cfg, tol=1e-6, maxiter=200)
+        u_axis_offset = jnp.zeros((1, 1, SPEC.nz), jnp.float32)
+        u_axis, rel, iters = _pcg3(
+            C, b, u_axis_offset, tol=1e-6, maxiter=400, precond="adi"
+        )
         assert float(rel[0, 0]) < 1e-5
-        un = np.asarray(u)[0, 0]
-        # Pole values tied across the azimuth.
-        assert np.allclose(un[:, :, 0], un[:, :1, 0], atol=1e-6)
+        ua = np.asarray(u_axis)[0, 0]
         # Potential decays away from the source along the axis.
-        assert un[i_src, 0, 0] > un[i_src + 5, 0, 0] > un[-2, 0, 0] >= 0
+        assert ua[i_src] > ua[i_src + 5] > ua[-2] >= 0
