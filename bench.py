@@ -47,8 +47,12 @@ def bench_3d():
     model.simulate_logs(depths, verbose=False)
     elapsed = time.perf_counter() - t0
     vals = model.logs["A2.0M0.5N"][:, 1]
+    # Phase split (mesh/stage/solve/readout) of the timed run: the recorded
+    # evidence that host meshing is negligible (VERDICT r2 #9 — if mesh ever
+    # exceeds ~10% of wall-clock, port grid3d to native/ like the 2D builder).
+    phases = {k: round(v, 3) for k, v in model._executor.timers.seconds.items()}
     model.shutdown_workers()
-    return elapsed, len(depths), int(np.isnan(vals).sum())
+    return elapsed, len(depths), int(np.isnan(vals).sum()), phases
 
 
 def bench_2d():
@@ -75,7 +79,7 @@ def bench_2d():
 
 
 def main():
-    el3, n3, nan3 = bench_3d()
+    el3, n3, nan3, phases3 = bench_3d()
     el2, n2_readouts, n2_solves, nan2 = bench_2d()
     pts3 = n3 / el3
     print(
@@ -87,6 +91,7 @@ def main():
                 "vs_baseline": round(pts3 / REFERENCE_3D_POINTS_PER_S, 1),
                 "elapsed_3d_s": round(el3, 2),
                 "n_nan_3d": nan3,
+                "phases_3d_s": phases3,
                 "pts2d_per_s": round(n2_readouts / el2, 1),
                 "solves2d_per_s": round(n2_solves / el2, 1),
                 "vs_baseline_2d_readouts": round(n2_readouts / el2 / REFERENCE_2D_POINTS_PER_S, 2),

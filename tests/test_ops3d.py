@@ -63,19 +63,31 @@ def test_grid3d_sigma_respects_dip():
     g = tiny_grid(dip)
     a = np.tan(dip)
     c = g.coords
-    cc = 0.125 * sum(
-        c[i : i + SPEC.nz - 1, j : j + SPEC.np_ - 1, k : k + SPEC.nr - 1]
+    # Cells are classified by their FULL zeta = z - tan(dip)*x extent: with the
+    # sub-cell homogenization default, only cells wholly inside one layer carry
+    # that layer's exact conductivity (cut cells are blended by design).
+    corner_zeta = c[..., 2] - a * c[..., 0]
+    corners = [
+        corner_zeta[i : i + SPEC.nz - 1, j : j + SPEC.np_ - 1, k : k + SPEC.nr - 1]
         for i in (0, 1)
         for j in (0, 1)
         for k in (0, 1)
-    )
-    zeta = cc[..., 2] - a * cc[..., 0]
+    ]
+    zeta_lo = np.minimum.reduce(corners)
+    zeta_hi = np.maximum.reduce(corners)
     formation_cells = np.ones(g.sigma_cells.shape, bool)
     formation_cells[:, :, : SPEC.n_wall_cells] = False
-    mid = formation_cells & (np.abs(zeta) < 0.9)
-    outer = formation_cells & (np.abs(zeta) > 1.1) & (np.abs(zeta) < 20)
+    mid = formation_cells & (zeta_lo > -0.95) & (zeta_hi < 0.95)
+    outer = formation_cells & (
+        ((zeta_lo > 1.05) & (zeta_hi < 20)) | ((zeta_hi < -1.05) & (zeta_lo > -20))
+    )
     assert np.allclose(g.sigma_cells[mid], 1 / 100.0)
     assert np.allclose(g.sigma_cells[outer], 1 / 10.0)
+    # Cut cells lie strictly between the pure-layer conductivities.
+    cut = formation_cells & (zeta_lo < 1.0) & (zeta_hi > 1.0)
+    assert cut.any()
+    assert np.all(g.sigma_cells[cut] > 1 / 100.0 - 1e-12)
+    assert np.all(g.sigma_cells[cut] < 1 / 10.0 + 1e-12)
     # Borehole column is mud.
     assert np.allclose(g.sigma_cells[:, :, : SPEC.n_wall_cells], 1.0)
 
