@@ -56,6 +56,11 @@ class GridSpec3D:
     h_max_radial_frac: float = 0.15
     blend_m0: float = 0.35
     shear_cap_frac: float = 0.2  # max |shear offset| as a fraction of R
+    # Azimuth lines are spaced uniformly. Clustering them toward phi = 0/pi
+    # (where the bilinear facets sag furthest off a dipping plane) was measured
+    # against the rotated layered oracle and made every config WORSE (dip 60:
+    # 0.73% -> 0.89/0.98% at cluster strengths 0.4/0.6) — the non-uniform
+    # sub-cell sigma mix it induces costs more than the conformity gain buys.
     # Conductivity rule for cells cut by a dipping layer plane: "centroid"
     # (nearest-layer lookup at the cell center) or sub-cell homogenization over
     # the cell's zeta = z - tan(dip)*x extent — "arithmetic" (exact for current
@@ -72,6 +77,15 @@ class GridSpec3D:
         solver degrades from ~0.9% (default) to ~1.2%. Pass via
         ``simulate_logs(grid_spec3d=GridSpec3D.fast())``."""
         return cls(nz=177, np_=15, nr=45)
+
+    @classmethod
+    def accurate(cls) -> "GridSpec3D":
+        """High-accuracy preset: finer azimuth (the dominant 3D discretization
+        axis, measured vs the rotated layered oracle — benchmarks/bm3_oracle.py:
+        max deviation 0.50% / mean 0.21% at dip 30 vs 0.63%/0.27% default).
+        236k nodes exceed the remote compiler's B=8 chunk capacity, so the
+        executor automatically drops to B=2 chunks (slower per point)."""
+        return cls(np_=25)
 
 
 @dataclasses.dataclass

@@ -47,6 +47,11 @@ class MGConfig:
     # coarse radial far-field). "line_r" and "jacobi" are cheaper but stall on one
     # orientation each.
     smoother: str = "line_rz"
+    # Use the symmetric half-plane Pallas stencil (ops/pallas_stencil2d.py) for
+    # the operator applies on the N finest levels (accelerators only; the
+    # kernel keeps the 5 coefficient planes VMEM-resident across the solve
+    # axis and avoids XLA's per-while-iteration (...,3,3) relayout).
+    pallas_levels: int = 0
 
 
 def coarsen_cells(cells: jnp.ndarray) -> jnp.ndarray:
@@ -179,6 +184,24 @@ def _make_precond(C, inv_diag, free, smoother: str, factored: bool = False):
     return apply_
 
 
+def make_stencil_apply(C, use_pallas: bool):
+    """Operator apply for one level: the Pallas half-plane kernel when enabled
+    and the operand carries the production (B, S, NZ, NR) rank, XLA otherwise
+    (power iteration and rank-flexible test callers keep the XLA path)."""
+    if not use_pallas:
+        return lambda u, C=C: stencil_apply(C, u)
+    from .pallas_stencil2d import half_planes_2d, stencil_apply_pallas_2d
+
+    C_half = half_planes_2d(C)
+
+    def apply_(u, C=C, C_half=C_half):
+        if u.ndim == 4 and C.ndim == 5:
+            return stencil_apply_pallas_2d(C_half, u, n_solves=u.shape[1])
+        return stencil_apply(C, u)
+
+    return apply_
+
+
 def _estimate_lmax(C, precond, power_iters: int) -> jnp.ndarray:
     """Per-batch spectral radius of M^{-1} A via power iteration.
 
@@ -215,8 +238,10 @@ def _chebyshev_smooth(level, r, z, degree: int, lower_frac: float):
     sigma = theta / delta
     rho = 1.0 / sigma
 
+    apply_A = level["apply"]
+
     def precond_residual(z):
-        res = r - stencil_apply(C, z)
+        res = r - apply_A(z)
         return precond(jnp.where(free, res, 0.0))
 
     d = precond_residual(z) / theta
@@ -253,6 +278,7 @@ def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig, C_fine=Non
                 "inv_diag": inv_diag,
                 "free": free_mask,
                 "precond": precond,
+                "apply": make_stencil_apply(C, l < config.pallas_levels),
                 "lmax": _estimate_lmax(C, precond, config.power_iters),
             }
         )
@@ -272,7 +298,7 @@ def v_cycle(levels, r, config: MGConfig, l: int = 0):
             level, r, jnp.zeros_like(r), config.coarse_degree, config.lower_frac / 8
         )
     z = _chebyshev_smooth(level, r, jnp.zeros_like(r), config.degree_pre, config.lower_frac)
-    res = jnp.where(freeb, r - stencil_apply(level["C"], z), 0.0)
+    res = jnp.where(freeb, r - level["apply"](z), 0.0)
     zc = v_cycle(levels, restrict(res), config, l + 1)
     z = z + jnp.where(freeb, prolong(zc), 0.0)
     z = _chebyshev_smooth(level, r, z, config.degree_post, config.lower_frac)

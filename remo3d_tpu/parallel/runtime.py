@@ -195,11 +195,13 @@ def _solve_chunk_3d(
 
 @partial(
     jax.jit,
-    static_argnames=("tol", "maxiter", "preconditioner", "subtract", "factored_lines"),
+    static_argnames=(
+        "tol", "maxiter", "preconditioner", "subtract", "factored_lines", "use_pallas"
+    ),
 )
 def _solve_chunk(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner,
-    subtract=True, factored_lines=False,
+    subtract=True, factored_lines=False, use_pallas=False,
 ):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
 
@@ -238,7 +240,11 @@ def _solve_chunk(
             sigma,
             free,
             MGConfig(
-                n_levels=_feasible_mg_levels(nz, nr), factored_lines=factored_lines
+                n_levels=_feasible_mg_levels(nz, nr),
+                factored_lines=factored_lines,
+                # Half-plane Pallas stencil on the two finest levels — the
+                # dominant smoother traffic (same trick as the 3D kernel).
+                pallas_levels=2 if use_pallas else 0,
             ),
             C_fine=C_fine,
         )
@@ -246,6 +252,13 @@ def _solve_chunk(
         # "local" preconditioner parity (ngsolve_functions.py:46): point Jacobi.
         C = C_fine
         M_inv = None
+    # CG fine-level matvec through the Pallas kernel when enabled.
+    if use_pallas:
+        from ..ops.multigrid import make_stencil_apply
+
+        matvec = make_stencil_apply(C, True)
+    else:
+        matvec = None
 
     if subtract:
         sigma0 = sigma[:, 0, 0]  # borehole column = mud conductivity
@@ -255,7 +268,7 @@ def _solve_chunk(
         rhs = singularity_rhs_2d(coords, sigma, sigma0, src_z, src_fac)
         g_lift = jnp.where(freeb, 0.0, -u_s)
         rhs = jnp.where(freeb, rhs - stencil_apply(C_raw, g_lift), 0.0)
-        w0, info = pcg(C, rhs, M_inv=M_inv, tol=tol, maxiter=maxiter)
+        w0, info = pcg(C, rhs, M_inv=M_inv, tol=tol, maxiter=maxiter, matvec=matvec)
         u = w0 + g_lift + u_s
     else:
         def one_rhs(idx, fac):
@@ -263,7 +276,7 @@ def _solve_chunk(
             return b.at[idx, 0].add(fac)
 
         b = jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)  # (B, S, NZ, NR)
-        u, info = pcg(C, b, M_inv=M_inv, tol=tol, maxiter=maxiter)
+        u, info = pcg(C, b, M_inv=M_inv, tol=tol, maxiter=maxiter, matvec=matvec)
     # Axis potentials are all the readout ever needs (electrodes sit on axis grid
     # nodes; worker.py:124-131 evaluates u at (0, z) / (0, 0, z)).
     return u[..., 0], info["rel_residual"], info["iterations"]
@@ -408,13 +421,20 @@ class Executor:
         n_batch_axis = n_dev // n_solve_axis
 
         base_chunk = self.config.chunk_size_3d if is_3d else self.config.chunk_size
+        if is_3d and int(np.prod(grids[0].coords.shape[:-1])) > 180_000:
+            # High-resolution 3D grids: the remote TPU compiler rejects the
+            # default B=8 chunk programs above ~180k nodes (HTTP 500 from
+            # tpu_compile_helper); small even chunks compile and run fine.
+            base_chunk = min(base_chunk, 2)
         solve_budget = base_chunk * 5
         chunk = max(min(base_chunk, max(1, solve_budget // S)), n_batch_axis)
         # Quantize to a multiple of 8 (and of the batch mesh axis): odd batch
         # extents fail the axon TPU compile, and coarse quantization bounds the
         # number of distinct compiled shapes. Never pad past the task list by
-        # more than one quantum.
-        q = math.lcm(8, n_batch_axis)
+        # more than one quantum. Explicitly small chunk configs (chunk_size_3d
+        # < 8, used for high-resolution 3D grids whose B=8 programs exceed the
+        # remote compiler's capacity) quantize to 2 — even extents compile.
+        q = math.lcm(8 if base_chunk >= 8 else 2, n_batch_axis)
         chunk = min(((chunk + q - 1) // q) * q, ((B_total + q - 1) // q) * q)
 
         if n_dev > 1:
@@ -505,15 +525,15 @@ class Executor:
         def dispatch(args):
             """Launch one chunk solve; returns lazy (u_axis, rel_res, iters)."""
             on_accel = self._devices[0].platform != "cpu"
+            use_pallas = self.config.use_pallas_stencil
+            if use_pallas is None:
+                # Auto mode stays off on multi-device meshes: an opaque
+                # pallas_call inside the sharded jit makes GSPMD replicate
+                # its operands (defeating the batch sharding and risking
+                # OOM); the single-device case is where the kernel's 7x
+                # win was measured. Explicit True still forces it on.
+                use_pallas = on_accel and n_dev == 1
             if is_3d:
-                use_pallas = self.config.use_pallas_stencil
-                if use_pallas is None:
-                    # Auto mode stays off on multi-device meshes: an opaque
-                    # pallas_call inside the sharded jit makes GSPMD replicate
-                    # its operands (defeating the batch sharding and risking
-                    # OOM); the single-device case is where the kernel's 7x
-                    # win was measured. Explicit True still forces it on.
-                    use_pallas = on_accel and n_dev == 1
                 return _solve_chunk_3d(
                     *args,
                     tol=self.config.tol,
@@ -531,6 +551,7 @@ class Executor:
                 # factored graph stalls the XLA CPU compiler, so CPU keeps the
                 # original in-line elimination path.
                 factored_lines=on_accel,
+                use_pallas=use_pallas,
             )
 
         def stage(start):

@@ -11,7 +11,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from remo3d_tpu.ops.stencil import stencil_apply
 from remo3d_tpu.ops.stencil3d import entry_index, stencil3d_apply
+
+
+def _random_symmetric_stencil_2d(rng, B, NZ, NR):
+    """Random 9-point stencil with FEM symmetry C[n, d] == C[n+d, -d] and zero
+    coupling across the grid boundary."""
+    C = np.zeros((B, NZ, NR, 3, 3), dtype=np.float32)
+    C[..., 1, 1] = 10.0 + rng.random((B, NZ, NR))
+    for dz, dr in [(0, 1), (1, -1), (1, 0), (1, 1)]:
+        h = rng.standard_normal((B, NZ, NR)).astype(np.float32)
+        sl = [slice(None)] * 3
+        for ax, d, n in ((1, dz, NZ), (2, dr, NR)):
+            if d > 0:
+                sl[ax] = slice(0, n - d)
+            elif d < 0:
+                sl[ax] = slice(-d, n)
+        mask = np.zeros((B, NZ, NR), dtype=bool)
+        mask[tuple(sl)] = True
+        h *= mask
+        C[..., 1 + dz, 1 + dr] = h
+        hm = np.zeros_like(h)
+        src = [slice(None)] * 3
+        dst = [slice(None)] * 3
+        for ax, d, n in ((1, dz, NZ), (2, dr, NR)):
+            if d > 0:
+                src[ax], dst[ax] = slice(0, n - d), slice(d, n)
+            elif d < 0:
+                src[ax], dst[ax] = slice(-d, n), slice(0, n + d)
+        hm[tuple(dst)] = h[tuple(src)]
+        C[..., 1 - dz, 1 - dr] = hm
+    return C
+
+
+def test_pallas_stencil2d_matches_xla_apply():
+    """The 2D half-plane stencil kernel (the default 2D CG/MG operator on
+    accelerators) vs the plain XLA 9-point apply, via the Pallas interpreter.
+    Pinned to CPU (remote-compile avoidance, see the 3D test)."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from remo3d_tpu.ops import pallas_stencil2d
+
+    rng = np.random.default_rng(11)
+    B, S, NZ, NR = 1, 2, 7, 5
+    with jax.default_device(jax.devices("cpu")[0]):
+        C = jnp.asarray(_random_symmetric_stencil_2d(rng, B, NZ, NR))
+        u = jnp.asarray(rng.standard_normal((B, S, NZ, NR)).astype(np.float32))
+
+        ref = stencil_apply(C, u)
+        C_half = pallas_stencil2d.half_planes_2d(C)
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        ):
+            out = pallas_stencil2d.stencil_apply_pallas_2d(C_half, u, n_solves=S)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
+        )
 
 
 def _random_symmetric_stencil(rng, B, NZ, NP, NR):
