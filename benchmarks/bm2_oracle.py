@@ -1,0 +1,85 @@
+# -*- coding: utf-8 -*-
+"""BM2 invasion-zone gate: package FEM vs the independent f64 FV oracle.
+
+Benchmark model 2 (Examples/Benchmark models/Benchmark model 2/Formation_BM2.txt:3-9)
+is the reference's canonical invasion-zone verification problem: three invaded
+beds (FZ 5 ohmm at radii 0.2/0.35/0.5 m, UZ 100 ohmm) between 10-ohmm shoulders,
+rw=0.1 m, mud 1 ohmm. The reference ships no logs for it; this script makes it
+quantitative by comparing the package's FEM at spot depths against the
+conservative float64 finite-volume direct solve (benchmarks/fv_oracle.py), which
+shares no code with the FEM path.
+
+Spot depths cover: shoulder beds, the middle of each invaded bed (all three
+invasion radii), and bed-boundary-adjacent points.
+
+Usage: python benchmarks/bm2_oracle.py [--cpu] [--tools=A2.0M0.5N,B5.7A0.4M]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+try:
+    import remo3d_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from remo3d_tpu.io import load_formation_parameters
+
+from fv_oracle import fv_apparent_resistivity
+
+BM2 = "/root/reference/Examples/Benchmark models/Benchmark model 2"
+RW = 0.1
+RHO_MUD = 1.0
+
+# Shoulder mid / invaded-bed mids (fz radius 0.2, 0.35, 0.5) / boundary-adjacent.
+SPOT_DEPTHS = [2.5, 10.0, 20.0, 30.0, 50.0, 14.5, 25.5]
+
+
+def fem_log(tools, depths, platform=None):
+    from remo3d_tpu import Model
+
+    m = Model(tools, force_single_electrode_configuration=True)
+    m.set_model_parameters(
+        os.path.join(BM2, "Formation_BM2.txt"), os.path.join(BM2, "Borehole_BM2.txt")
+    )
+    m.initialize_workers()
+    m.simulate_logs(np.asarray(depths, dtype=float), platform=platform, verbose=False)
+    return {t: m.logs[t][:, 1] for t in tools}
+
+
+def main():
+    platform = None
+    tools = ["A2.0M0.5N", "B5.7A0.4M"]
+    for arg in sys.argv[1:]:
+        if arg == "--cpu":
+            platform = "cpu"
+        elif arg.startswith("--tools"):
+            tools = arg.split("=")[1].split(",")
+
+    formation = load_formation_parameters(os.path.join(BM2, "Formation_BM2.txt"))
+    depths = np.array(SPOT_DEPTHS)
+
+    t0 = time.time()
+    fem = fem_log(tools, depths, platform=platform)
+    print(f"FEM: {len(depths)} depths x {len(tools)} tools in {time.time()-t0:.1f}s")
+
+    worst = 0.0
+    for tool in tools:
+        for i, d in enumerate(depths):
+            t0 = time.time()
+            ra_fv = fv_apparent_resistivity(tool, d, formation, RW, RHO_MUD)
+            rel = fem[tool][i] / ra_fv - 1
+            worst = max(worst, abs(rel))
+            print(
+                f"  {tool:>10} z={d:5.1f}: FEM {fem[tool][i]:9.4f}  "
+                f"FV {ra_fv:9.4f}  rel {rel:+.3%}  ({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+    print(f"\nWORST |rel| across tools/depths: {worst:.3%}")
+
+
+if __name__ == "__main__":
+    main()

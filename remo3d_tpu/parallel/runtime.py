@@ -282,6 +282,42 @@ def _solve_chunk(
     return u[..., 0], info["rel_residual"], info["iterations"]
 
 
+class LazyGrids:
+    """Sequence of per-batch grids, built on first access and cached.
+
+    Lets :meth:`Executor.run`'s pipeline interleave host meshing with device
+    solves: chunk N+1's grids are built while chunk N is still solving. Supports
+    int and slice indexing and iteration (the classic ``__getitem__`` protocol),
+    so eager-list call sites work unchanged.
+    """
+
+    def __init__(self, n: int, build_one):
+        self._build = build_one
+        self._cache: list = [None] * n
+
+    def __len__(self) -> int:
+        return len(self._cache)
+
+    def ensure(self, start: int = 0, stop: int | None = None) -> None:
+        stop = len(self._cache) if stop is None else min(stop, len(self._cache))
+        for i in range(max(start, 0), stop):
+            if self._cache[i] is None:
+                self._cache[i] = self._build(i)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            idx = range(*i.indices(len(self._cache)))
+            for j in idx:
+                self.ensure(j, j + 1)
+            return [self._cache[j] for j in idx]
+        if i < 0:
+            i += len(self._cache)
+        if not 0 <= i < len(self._cache):
+            raise IndexError(i)
+        self.ensure(i, i + 1)
+        return self._cache[i]
+
+
 @dataclasses.dataclass
 class ExecutorConfig:
     spec: GridSpec2D = dataclasses.field(default_factory=GridSpec2D)
@@ -337,11 +373,19 @@ class Executor:
         domain_radius: float,
         dip_rad: float,
         active_geometry_window: float,
-    ) -> list[Grid2D]:
-        """Carve the local model and build the structured grid for every batch."""
-        grids = []
-        with self.timers.phase("mesh"):
-            for t in tasks:
+    ) -> "LazyGrids":
+        """Per-batch grid builders, evaluated lazily.
+
+        Grids are built on first access, so host meshing overlaps the pipelined
+        device solves in :meth:`run` instead of running up front (the reference
+        gets the same overlap from its MPI worker farm: each worker meshes its
+        next task while others solve, worker.py:74-110). The "mesh" phase timer
+        still accounts every build, wherever it is triggered.
+        """
+
+        def build_one(i: int):
+            t = tasks[i]
+            with self.timers.phase("mesh"):
                 lm = carve_local_model(
                     formation_parameters,
                     borehole_geometry,
@@ -355,37 +399,33 @@ class Executor:
                     np.concatenate([s.source_positions for s in t.solves])
                 )
                 if dip_rad != 0:
-                    grids.append(
-                        build_grid3d(
-                            self.config.spec3d,
-                            domain_radius,
-                            lm,
-                            dip_rad,
-                            t.electrode_positions,
-                            sources,
-                        )
+                    return build_grid3d(
+                        self.config.spec3d,
+                        domain_radius,
+                        lm,
+                        dip_rad,
+                        t.electrode_positions,
+                        sources,
                     )
-                else:
-                    builder = (
-                        build_grid2d_native
-                        if self.config.use_native_mesher and native_available()
-                        else build_grid2d
-                    )
-                    grids.append(
-                        builder(
-                            self.config.spec,
-                            domain_radius,
-                            lm,
-                            t.electrode_positions,
-                            sources,
-                        )
-                    )
-        return grids
+                builder = (
+                    build_grid2d_native
+                    if self.config.use_native_mesher and native_available()
+                    else build_grid2d
+                )
+                return builder(
+                    self.config.spec,
+                    domain_radius,
+                    lm,
+                    t.electrode_positions,
+                    sources,
+                )
+
+        return LazyGrids(len(tasks), build_one)
 
     def run(
         self,
         tasks: list[BatchTask],
-        grids: list,
+        grids,
         n_measurements: int,
         n_tools: int,
         readout_factor: float = 1.0,
@@ -598,6 +638,11 @@ class Executor:
             while next_i < len(todo) and len(inflight) < window:
                 s0 = todo[next_i]
                 next_i += 1
+                # Build this chunk's grids first (outside the "stage" phase so
+                # mesh/stage seconds stay additive); previously-dispatched
+                # chunks keep solving on device while the host meshes.
+                if hasattr(grids, "ensure"):
+                    grids.ensure(s0, s0 + chunk)
                 with self.timers.phase("stage"):
                     args = stage(s0)
                 try:
