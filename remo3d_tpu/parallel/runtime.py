@@ -25,7 +25,7 @@ import numpy as np
 from ..meshing.carve import carve_local_model
 from ..meshing.grid2d import Grid2D, GridSpec2D, build_grid2d
 from ..meshing.grid3d import Grid3D, GridSpec3D, build_grid3d
-from ..meshing.native import build_grid2d_native, native_available
+from ..meshing.native import build_grid2d_native, build_grid3d_native, native_available
 from ..ops import assemble_stencil_2d, pcg
 from ..ops.multigrid import MGConfig, make_mg_preconditioner
 from ..planner import BatchTask
@@ -399,7 +399,12 @@ class Executor:
                     np.concatenate([s.source_positions for s in t.solves])
                 )
                 if dip_rad != 0:
-                    return build_grid3d(
+                    builder3 = (
+                        build_grid3d_native
+                        if self.config.use_native_mesher and native_available()
+                        else build_grid3d
+                    )
+                    return builder3(
                         self.config.spec3d,
                         domain_radius,
                         lm,

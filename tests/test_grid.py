@@ -161,3 +161,30 @@ def test_native_grid_builder_matches_python():
     assert np.allclose(g_py.coords, g_c.coords, atol=1e-10)
     assert np.array_equal(g_py.sigma_cells, g_c.sigma_cells)
     assert np.array_equal(g_py.free_mask, g_c.free_mask)
+
+
+def test_native_grid3d_builder_matches_python():
+    from remo3d_tpu.meshing.grid3d import GridSpec3D, build_grid3d
+    from remo3d_tpu.meshing.native import build_grid3d_native, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    dip = np.deg2rad(30.0)
+    lm = simple_model(dip=dip)
+    electrodes = np.array([-2.5, -2.0, 0.0, 0.4])
+    sources = np.array([-0.1, 0.0, 0.1])
+    spec = GridSpec3D(nz=97, np_=9, nr=33, n_wall_cells=4, n_blend_cells=2)
+    for blend in ("arithmetic", "centroid", "harmonic", "mixed"):
+        sp = GridSpec3D(
+            nz=spec.nz, np_=spec.np_, nr=spec.nr,
+            n_wall_cells=spec.n_wall_cells, n_blend_cells=spec.n_blend_cells,
+            sigma_blend=blend,
+        )
+        g_py = build_grid3d(sp, 50.0, lm, dip, electrodes, sources)
+        g_c = build_grid3d_native(sp, 50.0, lm, dip, electrodes, sources)
+        assert np.allclose(g_py.z_axis, g_c.z_axis, atol=1e-10), blend
+        assert np.allclose(g_py.coords, g_c.coords, atol=1e-10), blend
+        assert np.allclose(
+            g_py.sigma_cells, g_c.sigma_cells, rtol=1e-9, atol=0
+        ), blend
+        assert np.array_equal(g_py.free_mask, g_c.free_mask), blend
