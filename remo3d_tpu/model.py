@@ -13,6 +13,7 @@ accelerator device.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 import sys
 
@@ -211,6 +212,7 @@ class Model:
         verbose=True,
         profile_dir=None,
         checkpoint=None,
+        executor_overrides: dict | None = None,
     ):
         """Simulate all logs (reference remo3d.py:723-884).
 
@@ -220,7 +222,10 @@ class Model:
         ``grid_spec3d`` (grid topology override; ``GridSpec3D.fast()`` for a
         ~2x-faster 3D preset), ``profile_dir`` (write a jax.profiler trace of
         the solve phase) and ``checkpoint`` (an .npz path: per-chunk results are
-        persisted and an interrupted run resumes). ``condense`` is accepted for
+        persisted and an interrupted run resumes) and ``executor_overrides`` (a
+        dict of :class:`~remo3d_tpu.parallel.runtime.ExecutorConfig` field
+        overrides, e.g. ``{"chunk_size": 96}`` — the expert tuning hatch).
+        ``condense`` is accepted for
         compatibility; Q1 stencils have no interior DOFs to condense.
         ``mesh_generator`` is likewise compatibility-only: "netgen" and "gmsh"
         resolve to the SAME fixed-topology grid preset (see ``_GRID_PRESETS``) —
@@ -285,6 +290,8 @@ class Model:
             checkpoint=checkpoint,
             **config_kwargs,
         )
+        if executor_overrides:
+            config = dataclasses.replace(config, **executor_overrides)
         executor = Executor(config)  # compiled programs are cached process-wide
         self._executor = executor
 

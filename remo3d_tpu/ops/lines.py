@@ -184,7 +184,7 @@ def line_apply_2d(factors, b):
     return pcr_apply(steps, dinv, b, axis=axis)
 
 
-def line_solve_r(C, b):
+def line_solve_r(C, b, max_steps=None):
     """Solve the radial-line tridiagonal part: couplings (1,0),(1,1),(1,2).
 
     C: (..., NZ, NR, 3, 3); b: (..., [S,] NZ, NR). Solves along the NR axis for
@@ -195,14 +195,14 @@ def line_solve_r(C, b):
     dl = jnp.broadcast_to(Cb[..., 1, 0], b.shape)
     d = jnp.broadcast_to(Cb[..., 1, 1], b.shape)
     du = jnp.broadcast_to(Cb[..., 1, 2], b.shape)
-    return pcr_solve(dl, d, du, b, axis=-1)
+    return pcr_solve(dl, d, du, b, axis=-1, max_steps=max_steps)
 
 
-def line_solve_z(C, b):
+def line_solve_z(C, b, max_steps=None):
     """Solve the axial-line tridiagonal part: couplings (0,1),(1,1),(2,1)."""
     extra = b.ndim - (C.ndim - 2)
     Cb = C if extra == 0 else jnp.expand_dims(C, -5)
     dl = jnp.broadcast_to(Cb[..., 0, 1], b.shape)
     d = jnp.broadcast_to(Cb[..., 1, 1], b.shape)
     du = jnp.broadcast_to(Cb[..., 2, 1], b.shape)
-    return pcr_solve(dl, d, du, b, axis=-2)
+    return pcr_solve(dl, d, du, b, axis=-2, max_steps=max_steps)

@@ -52,6 +52,19 @@ class MGConfig:
     # kernel keeps the 5 coefficient planes VMEM-resident across the solve
     # axis and avoids XLA's per-while-iteration (...,3,3) relayout).
     pallas_levels: int = 0
+    # Apply the factored PCR line solves through the single-pass Pallas kernels
+    # (ops/pallas_lines2d.py) on the N finest levels: all reduction levels run
+    # VMEM-resident instead of materializing the solution in HBM per level
+    # (~10x less smoother traffic). Requires factored_lines.
+    pallas_line_levels: int = 0
+    # Truncate the PCR line solves to this many reduction levels (an approximate
+    # solve within a 2^k window). As an MG *smoother* the lines only need to
+    # damp coupling the coarse grid cannot represent, so a local window is
+    # enough — and each dropped level removes two full-array multiply-add
+    # sweeps from the hot path. None = exact (ceil(log2(n)) levels).
+    # NOTE: truncated-PCR programs deterministically fault the axon TPU remote
+    # compiler — CPU-only until that is resolved.
+    line_max_steps: int | None = None
 
 
 def coarsen_cells(cells: jnp.ndarray) -> jnp.ndarray:
@@ -136,7 +149,15 @@ def galerkin_coarsen(C: jnp.ndarray, coarse_free: jnp.ndarray) -> jnp.ndarray:
     return apply_dirichlet(CH, coarse_free)
 
 
-def _make_precond(C, inv_diag, free, smoother: str, factored: bool = False):
+def _make_precond(
+    C,
+    inv_diag,
+    free,
+    smoother: str,
+    factored: bool = False,
+    max_steps=None,
+    pallas_lines: bool = False,
+):
     """Inner smoother preconditioner apply: r -> M^{-1} r (identity on Dirichlet).
 
     With ``factored`` the tridiagonal line parts are FACTORED once per level —
@@ -155,7 +176,7 @@ def _make_precond(C, inv_diag, free, smoother: str, factored: bool = False):
 
     elif smoother == "line_r":
         if factored:
-            f_r = line_factor_2d(C, "r")
+            f_r = line_factor_2d(C, "r", max_steps=max_steps)
 
             def apply_(r):
                 return line_apply_2d(f_r, r)
@@ -163,12 +184,35 @@ def _make_precond(C, inv_diag, free, smoother: str, factored: bool = False):
         else:
 
             def apply_(r):
-                return line_solve_r(C, r)
+                return line_solve_r(C, r, max_steps=max_steps)
 
     elif smoother == "line_rz":
-        if factored:
-            f_r = line_factor_2d(C, "r")
-            f_z = line_factor_2d(C, "z")
+        if factored and pallas_lines:
+            # Single-pass VMEM kernels on bfloat16-stored factors: the rank-4
+            # production arrays go through Pallas; the rank-3 power-iteration
+            # probe uses the XLA apply of the SAME stacked factors, so the
+            # estimated spectrum matches the operator CG actually sees.
+            from .pallas_lines2d import (
+                line_rz_apply_pallas,
+                pcr_apply_stacked,
+                stack_factors,
+            )
+
+            steps_r, dinv_r, _ = line_factor_2d(C, "r", max_steps=max_steps)
+            steps_z, dinv_z, _ = line_factor_2d(C, "z", max_steps=max_steps)
+            F_r = stack_factors(steps_r, dinv_r)
+            F_z = stack_factors(steps_z, dinv_z)
+
+            def apply_(r):
+                if r.ndim == 4:
+                    return line_rz_apply_pallas(F_z, F_r, r, n_solves=r.shape[1])
+                return 0.5 * (
+                    pcr_apply_stacked(F_r, r, -1) + pcr_apply_stacked(F_z, r, -2)
+                )
+
+        elif factored:
+            f_r = line_factor_2d(C, "r", max_steps=max_steps)
+            f_z = line_factor_2d(C, "z", max_steps=max_steps)
 
             def apply_(r):
                 # Additive ADI: symmetric (PCG-safe), both orientations.
@@ -177,7 +221,10 @@ def _make_precond(C, inv_diag, free, smoother: str, factored: bool = False):
         else:
 
             def apply_(r):
-                return 0.5 * (line_solve_r(C, r) + line_solve_z(C, r))
+                return 0.5 * (
+                    line_solve_r(C, r, max_steps=max_steps)
+                    + line_solve_z(C, r, max_steps=max_steps)
+                )
 
     else:
         raise ValueError(f"unknown smoother {smoother!r}")
@@ -270,7 +317,13 @@ def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig, C_fine=Non
         diag = stencil_diag(C)
         inv_diag = 1.0 / jnp.where(diag != 0, diag, 1.0)
         precond = _make_precond(
-            C, inv_diag, free_mask, config.smoother, config.factored_lines
+            C,
+            inv_diag,
+            free_mask,
+            config.smoother,
+            config.factored_lines,
+            config.line_max_steps,
+            pallas_lines=config.factored_lines and l < config.pallas_line_levels,
         )
         levels.append(
             {

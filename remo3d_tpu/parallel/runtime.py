@@ -83,11 +83,13 @@ def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw):
 
 @partial(
     jax.jit,
-    static_argnames=("tol", "maxiter", "precond", "adi_damp", "use_pallas"),
+    static_argnames=(
+        "tol", "maxiter", "precond", "adi_damp", "use_pallas", "use_pallas_lines"
+    ),
 )
 def _pcg3(
     C, b, u_axis_offset, *, tol, maxiter, precond="adi", adi_damp=0.6,
-    use_pallas=False,
+    use_pallas=False, use_pallas_lines=False,
 ):
     """Stage 3: pole-tied line-preconditioned CG + axis readout.
 
@@ -112,6 +114,25 @@ def _pcg3(
     # multiply-adds per PCR level instead of a full re-elimination.
     factors = {d: line_factor3(C, d) for d in ("z", "p", "r")}
 
+    if use_pallas_lines:
+        # Single-pass VMEM kernels: all PCR levels run in VMEM instead of
+        # materializing the intermediate solution in HBM per level.
+        from ..ops.pallas_lines3d import line_apply3_pallas, stack_factors3
+
+        np3, nr3 = b.shape[-2], b.shape[-1]
+        n_sol = b.shape[-4]
+        Fs = {d: stack_factors3(f[0], f[1]) for d, f in factors.items()}
+
+        def line_apply(d, x):
+            return line_apply3_pallas(
+                Fs[d], x, direction=d, np_=np3, nr=nr3, n_solves=n_sol
+            )
+
+    else:
+
+        def line_apply(d, x):
+            return line_apply3(factors[d], x)
+
     if use_pallas:
         # Symmetric half-plane Pallas stencil: ~half the coefficient traffic
         # (see ops/pallas_stencil.py).
@@ -131,15 +152,15 @@ def _pcg3(
     if precond == "adi":
         def M_inv(r):
             r = pole_project(r)
-            z = adi_damp * pole_project(line_apply3(factors["z"], r))
+            z = adi_damp * pole_project(line_apply("z", r))
             for d in ("p", "r", "p", "z"):
                 res = r - matvec(z)
-                z = z + adi_damp * pole_project(line_apply3(factors[d], res))
+                z = z + adi_damp * pole_project(line_apply(d, res))
             return z
     else:
         def M_inv(r):
             r = pole_project(r)
-            z = sum(line_apply3(f, r) for f in factors.values()) / 3.0
+            z = sum(line_apply(d, r) for d in factors) / 3.0
             return pole_project(z)
 
     u, info = pcg(
@@ -151,7 +172,7 @@ def _pcg3(
 
 def _solve_chunk_3d(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
-    precond="adi", adi_damp=0.6, use_pallas=False,
+    precond="adi", adi_damp=0.6, use_pallas=False, use_pallas_lines=False,
 ):
     """3D chunk solve: hex assembly + singularity subtraction + pole-tied line-CG.
 
@@ -189,19 +210,22 @@ def _solve_chunk_3d(
         u_axis_offset = jnp.zeros(b.shape[:-3] + (nz,), dtype=b.dtype)
     return _pcg3(
         C, b, u_axis_offset, tol=tol, maxiter=maxiter, precond=precond,
-        adi_damp=adi_damp, use_pallas=use_pallas,
+        adi_damp=adi_damp, use_pallas=use_pallas, use_pallas_lines=use_pallas_lines,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "tol", "maxiter", "preconditioner", "subtract", "factored_lines", "use_pallas"
+        "tol", "maxiter", "preconditioner", "subtract", "factored_lines",
+        "use_pallas", "use_pallas_lines", "mg_degree", "mg_power_iters",
+        "mg_line_steps",
     ),
 )
 def _solve_chunk(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner,
     subtract=True, factored_lines=False, use_pallas=False,
+    use_pallas_lines=False, mg_degree=3, mg_power_iters=12, mg_line_steps=None,
 ):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
 
@@ -245,6 +269,13 @@ def _solve_chunk(
                 # Half-plane Pallas stencil on the two finest levels — the
                 # dominant smoother traffic (same trick as the 3D kernel).
                 pallas_levels=2 if use_pallas else 0,
+                # Single-pass VMEM line-solve kernels on the two finest levels
+                # (~10x less smoother HBM traffic than the per-level XLA apply).
+                pallas_line_levels=2 if use_pallas_lines else 0,
+                degree_pre=mg_degree,
+                degree_post=mg_degree,
+                power_iters=mg_power_iters,
+                line_max_steps=mg_line_steps,
             ),
             C_fine=C_fine,
         )
@@ -336,6 +367,15 @@ class ExecutorConfig:
     # on v5e vs the XLA 27-plane apply inside the CG loop). None = auto: on for
     # accelerator backends, off for CPU (the kernel needs real TPU hardware).
     use_pallas_stencil: bool | None = None
+    # Single-pass Pallas line-solve kernels in the 2D MG smoother
+    # (ops/pallas_lines2d.py). None = follow use_pallas_stencil.
+    use_pallas_lines: bool | None = False
+    # 2D MG smoother tuning (Chebyshev degree of pre/post smoothing; power
+    # iterations of the per-batch spectral estimate; PCR line-solve truncation —
+    # safe inside the Pallas kernels, CPU-only for the XLA path, see MGConfig).
+    mg_degree: int = 3
+    mg_power_iters: int = 12
+    mg_line_steps: int | None = None
     platform: str | None = None  # None = JAX default (TPU when present); "cpu" for tests
     # A solve is declared failed (NaN readouts, matching the reference's per-task NaN
     # containment, worker.py:135-138) only above this attained relative residual;
@@ -578,6 +618,9 @@ class Executor:
                 # OOM); the single-device case is where the kernel's 7x
                 # win was measured. Explicit True still forces it on.
                 use_pallas = on_accel and n_dev == 1
+            use_pallas_lines = self.config.use_pallas_lines
+            if use_pallas_lines is None:
+                use_pallas_lines = use_pallas
             if is_3d:
                 return _solve_chunk_3d(
                     *args,
@@ -586,6 +629,7 @@ class Executor:
                     precond=self.config.precond3d,
                     adi_damp=self.config.adi_damp,
                     use_pallas=use_pallas,
+                    use_pallas_lines=use_pallas_lines and on_accel,
                 )
             return _solve_chunk(
                 *args,
@@ -597,6 +641,10 @@ class Executor:
                 # original in-line elimination path.
                 factored_lines=on_accel,
                 use_pallas=use_pallas,
+                use_pallas_lines=use_pallas_lines and on_accel,
+                mg_degree=self.config.mg_degree,
+                mg_power_iters=self.config.mg_power_iters,
+                mg_line_steps=self.config.mg_line_steps,
             )
 
         def stage(start):
