@@ -102,6 +102,9 @@ def _pcg3(
       iteration counts on BM3 dip=30: ~285 at damp 0.6 vs ~800 additive.
     * ``"lines"``: additive average of the three line solves — unconditionally
       SPD fallback.
+    * ``"direct"``: batched banded-block-tridiagonal LDL^T
+      (ops/block_direct3d.py) — one factorization per chunk, a handful of CG
+      iterations.
 
     Replaces the round-1 MG-PCG whose V-cycle both faulted the axon TPU compiler
     when fused and contracted at only ~0.9/cycle on the sheared anisotropic grids.
@@ -109,12 +112,15 @@ def _pcg3(
     from ..ops.lines3d import line_apply3, line_factor3
     from ..ops.stencil3d import pole_project, stencil3d_apply
 
-    # Factor the three line tridiagonals ONCE per chunk (loop-invariant, outside
-    # the CG while_loop); each preconditioner application is then two shifted
-    # multiply-adds per PCR level instead of a full re-elimination.
-    factors = {d: line_factor3(C, d) for d in ("z", "p", "r")}
+    # Factor the line tridiagonals / block operator ONCE per chunk
+    # (loop-invariant, outside the CG while_loop).
+    factors = (
+        {}
+        if precond == "direct"
+        else {d: line_factor3(C, d) for d in ("z", "p", "r")}
+    )
 
-    if use_pallas_lines:
+    if use_pallas_lines and factors:
         # Single-pass VMEM kernels: all PCR levels run in VMEM instead of
         # materializing the intermediate solution in HBM per level.
         from ..ops.pallas_lines3d import line_apply3_pallas, stack_factors3
@@ -149,7 +155,24 @@ def _pcg3(
         def matvec(p):
             return pole_project(stencil3d_apply(C, pole_project(p)))
 
-    if precond == "adi":
+    if precond == "direct":
+        # Batched banded-block-tridiagonal LDL^T (ops/block_direct3d.py): one
+        # ~NZ-step factorization per chunk shared by all S solves, then each
+        # application is two batched-matmul sweeps — replaces the ~10^2
+        # ADI-preconditioned iterations with a handful.
+        from ..ops.block_direct3d import (
+            block_thomas_apply_3d,
+            block_thomas_factor_3d,
+        )
+
+        np3, nr3 = b.shape[-2], b.shape[-1]
+        G3 = block_thomas_factor_3d(C, np3, nr3)
+
+        def M_inv(r):
+            r = pole_project(r)
+            return pole_project(block_thomas_apply_3d(G3, C, r, np3, nr3))
+
+    elif precond == "adi":
         def M_inv(r):
             r = pole_project(r)
             z = adi_damp * pole_project(line_apply("z", r))
@@ -258,7 +281,17 @@ def _solve_chunk(
     C_raw = fold_to_stencil(element_matrices_2d(coords, sigma), nz, nr)
     C_fine = apply_dirichlet(C_raw, free)
     use_mg = preconditioner == "multigrid" and _feasible_mg_levels(nz, nr) > 1
-    if use_mg:
+    if preconditioner == "direct":
+        # Batched block-tridiagonal LDL^T: one ~NZ-step factorization per chunk
+        # (shared by all S solves of each batch), then each preconditioner
+        # application is two batched-matmul sweeps — CG converges in a handful
+        # of iterations with no Chebyshev smoothing or spectral estimation.
+        from ..ops.block_direct import block_thomas_apply, block_thomas_factor
+
+        C = C_fine
+        G_all = block_thomas_factor(C)
+        M_inv = lambda r: block_thomas_apply(G_all, C, r)
+    elif use_mg:
         C, M_inv = make_mg_preconditioner(
             coords,
             sigma,
@@ -361,7 +394,9 @@ class ExecutorConfig:
     # separately so one dispatch stays within compile/memory limits.
     chunk_size_3d: int = 8
     preconditioner: str = "multigrid"  # "local" (Jacobi) or "multigrid"
-    precond3d: str = "adi"  # "adi" (damped z-p-r-p-z sweep) or "lines" (additive)
+    # "adi" (damped z-p-r-p-z sweep), "lines" (additive), or "direct"
+    # (banded-block LDL^T, ops/block_direct3d.py)
+    precond3d: str = "adi"
     adi_damp: float = 0.6
     # Symmetric half-plane Pallas stencil for the 3D operator (7x faster chunks
     # on v5e vs the XLA 27-plane apply inside the CG loop). None = auto: on for
