@@ -289,3 +289,32 @@ def test_example02_golden_parity_reduced_cpu():
     for j, t in enumerate(tools):
         rel = np.abs(m.logs[t][:, 1] / golden[idx, 1 + j] - 1)
         assert rel.max() < 0.03, (t, rel)
+
+
+def test_direct_preconditioner_golden_parity_reduced_cpu():
+    """preconditioner="direct" (batched block-LDL^T, ops/block_direct.py) vs
+    the Example_01 golden at four spot depths on the reduced CPU grid — the
+    same gate the default multigrid path passes. On the production grid the
+    direct and multigrid paths agree to 6.6e-05 (scratch/screen_direct.py);
+    here the reduced-grid discretization error dominates, gated at 3%."""
+    import glob
+
+    base = reference_path("Examples", "Example_01")
+    tools = ["B5.7A0.4M", "B4.48A1.62M", "M1.0A0.1B", "A2.0M0.5N", "N0.5M2.0A", "M4.0A0.5B"]
+    golden = np.loadtxt(
+        glob.glob(base + "/Output/Results_*/Results_1.txt")[0], skiprows=2
+    )
+    idx = [40, 90, 140, 190]
+    m = Model(tools)
+    m.set_model_parameters(base + "/Input/Formation.txt", base + "/Input/Borehole.txt")
+    m.initialize_workers()
+    m.simulate_logs(
+        golden[idx, 0],
+        platform="cpu",
+        verbose=False,
+        grid_spec=SMALL_2D,
+        executor_overrides={"preconditioner": "direct"},
+    )
+    for j, t in enumerate(tools):
+        rel = np.abs(m.logs[t][:, 1] / golden[idx, 1 + j] - 1)
+        assert rel.max() < 0.03, (t, rel)
