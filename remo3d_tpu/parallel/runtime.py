@@ -437,6 +437,16 @@ class Executor:
         self._devices = (
             jax.devices(config.platform) if config.platform else jax.devices()
         )
+        if config.dtype == "float64":
+            # Without the x64 flag JAX silently downcasts float64 staging arrays
+            # to float32 — the "f64 mode" would be a no-op. CPU only: float64
+            # programs crash the TPU runtime.
+            if self._devices[0].platform != "cpu":
+                raise ValueError(
+                    "dtype='float64' requires platform='cpu' (TPUs are "
+                    "float32/bfloat16 hardware)"
+                )
+            jax.config.update("jax_enable_x64", True)
 
     # ------------------------------------------------------------------- host side
     def prepare_batches(

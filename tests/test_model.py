@@ -318,3 +318,22 @@ def test_direct_preconditioner_golden_parity_reduced_cpu():
     for j, t in enumerate(tools):
         rel = np.abs(m.logs[t][:, 1] / golden[idx, 1 + j] - 1)
         assert rel.max() < 0.03, (t, rel)
+
+
+def test_float64_mode_subprocess():
+    """dtype="float64" must genuinely compute in float64 (it silently
+    downcast before the executor enabled the x64 flag). Subprocess-isolated:
+    the flag is global and must not leak into the float32 suite."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_f64_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, worker], env=env, capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "F64_MODE_OK" in out.stdout, out.stdout
