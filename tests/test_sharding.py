@@ -153,3 +153,45 @@ def test_executor_sharded_direct_preconditioner_matches_single_device():
     assert np.all(np.isfinite(res_sharded))
     assert np.allclose(res_sharded, res_single, rtol=1e-4)
     assert np.allclose(res_sharded[:, 0], rho, rtol=0.03)
+
+
+def test_executor_sharded_direct3d_matches_single_device():
+    """The 3D banded-block direct path (ops/block_direct3d.py) under batch-axis
+    sharding on a small uniform dipping model: the factorization scan and the
+    G matmuls must follow the sharding and match the single-device run."""
+    from remo3d_tpu import Model
+    from remo3d_tpu.meshing.grid3d import GridSpec3D
+    from remo3d_tpu.parallel.runtime import Executor, ExecutorConfig
+    from remo3d_tpu.planner import plan_tasks
+
+    spec3d = GridSpec3D(nz=33, np_=5, nr=13, n_wall_cells=4, n_blend_cells=2)
+    rho = 6.0
+    formation = np.array([[-100.0, 100.0, np.nan, np.nan, rho]])
+    borehole = np.array([[-100.0, 0.1, rho], [100.0, 0.1, rho]])
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius", dip=20)
+    depths = np.arange(0.0, 0.71, 0.1)  # 8 depths -> 8 batches at batch_size=1
+    sim_depths, tasks = plan_tasks(m.tools, m.sec, depths, 1)
+    mud = np.interp(sim_depths, m.borehole_model[:, 0], m.borehole_model[:, 2])
+
+    def run(devices_limit):
+        config = ExecutorConfig(
+            spec3d=spec3d,
+            platform="cpu",
+            precond3d="direct",
+            tol=1e-6,
+            chunk_size_3d=8,
+        )
+        ex = Executor(config)
+        ex._devices = ex._devices[:devices_limit]
+        grids = ex.prepare_batches(
+            tasks, m.formation_model, m.borehole_model[:, :2], mud, 50.0,
+            m.dip_rad, 0.99
+        )
+        return ex.run(tasks, grids, len(depths), 1, readout_factor=0.5)
+
+    res_sharded = run(8)
+    res_single = run(1)
+    assert np.all(np.isfinite(res_sharded))
+    assert np.allclose(res_sharded, res_single, rtol=1e-4)
+    assert np.allclose(res_sharded[:, 0], rho, rtol=0.05)
