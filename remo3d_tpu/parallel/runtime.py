@@ -88,7 +88,7 @@ def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw):
     ),
 )
 def _pcg3(
-    C, b, u_axis_offset, *, tol, maxiter, precond="adi", adi_damp=0.6,
+    C, b, u_axis_offset, G3=None, *, tol, maxiter, precond="adi", adi_damp=0.6,
     use_pallas=False, use_pallas_lines=False,
 ):
     """Stage 3: pole-tied line-preconditioned CG + axis readout.
@@ -156,17 +156,14 @@ def _pcg3(
             return pole_project(stencil3d_apply(C, pole_project(p)))
 
     if precond == "direct":
-        # Batched banded-block-tridiagonal LDL^T (ops/block_direct3d.py): one
-        # ~NZ-step factorization per chunk shared by all S solves, then each
-        # application is two batched-matmul sweeps — replaces the ~10^2
+        # Batched banded-block-tridiagonal LDL^T (ops/block_direct3d.py): the
+        # factorization G3 is staged in its own jit (_factor3_direct) — the
+        # inversion scan would otherwise bloat this program — and each
+        # application is two batched-matmul sweeps, replacing the ~10^2
         # ADI-preconditioned iterations with a handful.
-        from ..ops.block_direct3d import (
-            block_thomas_apply_3d,
-            block_thomas_factor_3d,
-        )
+        from ..ops.block_direct3d import block_thomas_apply_3d
 
         np3, nr3 = b.shape[-2], b.shape[-1]
-        G3 = block_thomas_factor_3d(C, np3, nr3)
 
         def M_inv(r):
             r = pole_project(r)
@@ -231,10 +228,21 @@ def _solve_chunk_3d(
 
         b = build_rhs(src_i, src_fac)
         u_axis_offset = jnp.zeros(b.shape[:-3] + (nz,), dtype=b.dtype)
+    G3 = _factor3_direct(C, np_=np_, nr=nr) if precond == "direct" else None
     return _pcg3(
-        C, b, u_axis_offset, tol=tol, maxiter=maxiter, precond=precond,
+        C, b, u_axis_offset, G3, tol=tol, maxiter=maxiter, precond=precond,
         adi_damp=adi_damp, use_pallas=use_pallas, use_pallas_lines=use_pallas_lines,
     )
+
+
+@partial(jax.jit, static_argnames=("np_", "nr"))
+def _factor3_direct(C, *, np_, nr):
+    """3D direct stage: banded-block-LDL^T factorization in its own jit
+    (the inversion scan would bloat the CG program — the same large-program
+    compiler-fault hazard the 3-stage 3D split works around)."""
+    from ..ops.block_direct3d import block_thomas_factor_3d
+
+    return block_thomas_factor_3d(C, np_, nr)
 
 
 @partial(
@@ -281,17 +289,7 @@ def _solve_chunk(
     C_raw = fold_to_stencil(element_matrices_2d(coords, sigma), nz, nr)
     C_fine = apply_dirichlet(C_raw, free)
     use_mg = preconditioner == "multigrid" and _feasible_mg_levels(nz, nr) > 1
-    if preconditioner == "direct":
-        # Batched block-tridiagonal LDL^T: one ~NZ-step factorization per chunk
-        # (shared by all S solves of each batch), then each preconditioner
-        # application is two batched-matmul sweeps — CG converges in a handful
-        # of iterations with no Chebyshev smoothing or spectral estimation.
-        from ..ops.block_direct import block_thomas_apply, block_thomas_factor
-
-        C = C_fine
-        G_all = block_thomas_factor(C)
-        M_inv = lambda r: block_thomas_apply(G_all, C, r)
-    elif use_mg:
+    if use_mg:
         C, M_inv = make_mg_preconditioner(
             coords,
             sigma,
@@ -344,6 +342,84 @@ def _solve_chunk(
     # Axis potentials are all the readout ever needs (electrodes sit on axis grid
     # nodes; worker.py:124-131 evaluates u at (0, z) / (0, 0, z)).
     return u[..., 0], info["rel_residual"], info["iterations"]
+
+
+@jax.jit
+def _assemble2(coords, sigma, free):
+    """2D stage 1: Q1 assembly -> raw + Dirichlet-eliminated 9-point stencils."""
+    from ..ops.assembly2d import apply_dirichlet, element_matrices_2d, fold_to_stencil
+
+    nz, nr = coords.shape[-3], coords.shape[-2]
+    C_raw = fold_to_stencil(element_matrices_2d(coords, sigma), nz, nr)
+    return C_raw, apply_dirichlet(C_raw, free)
+
+
+@jax.jit
+def _factor2_direct(C):
+    """2D stage 2 (direct): block-LDL^T factorization (ops/block_direct.py)."""
+    from ..ops.block_direct import block_thomas_factor
+
+    return block_thomas_factor(C)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "subtract", "use_pallas"))
+def _pcg2_direct(
+    C_raw, C, G_all, coords, sigma, free, src_i, src_fac, *, tol, maxiter,
+    subtract=True, use_pallas=False,
+):
+    """2D stage 3 (direct): load build + direct-preconditioned CG + axis readout.
+
+    Staged separately from :func:`_solve_chunk` (which stays a single fused
+    program for the multigrid/local paths) for the same reason the 3D solver
+    is staged: very large fused programs fault the remote-TPU compiler, and
+    the factorization scan makes this path large. The load construction
+    mirrors _solve_chunk's subtract branch exactly.
+    """
+    from ..ops.assembly2d import fundamental_potential_2d, singularity_rhs_2d
+    from ..ops.block_direct import block_thomas_apply
+    from ..ops.stencil import stencil_apply
+
+    nz, nr = coords.shape[-3], coords.shape[-2]
+    freeb = free[:, None]
+    M_inv = lambda r: block_thomas_apply(G_all, C, r)
+    if use_pallas:
+        from ..ops.multigrid import make_stencil_apply
+
+        matvec = make_stencil_apply(C, True)
+    else:
+        matvec = None
+
+    if subtract:
+        sigma0 = sigma[:, 0, 0]
+        z_axis = coords[:, :, 0, 0]
+        src_z = jnp.take_along_axis(z_axis[:, None, :], src_i, axis=-1)
+        u_s = fundamental_potential_2d(coords, sigma0, src_z, src_fac)
+        rhs = singularity_rhs_2d(coords, sigma, sigma0, src_z, src_fac)
+        g_lift = jnp.where(freeb, 0.0, -u_s)
+        rhs = jnp.where(freeb, rhs - stencil_apply(C_raw, g_lift), 0.0)
+        w0, info = pcg(C, rhs, M_inv=M_inv, tol=tol, maxiter=maxiter, matvec=matvec)
+        u = w0 + g_lift + u_s
+    else:
+        def one_rhs(idx, fac):
+            b = jnp.zeros((nz, nr), dtype=coords.dtype)
+            return b.at[idx, 0].add(fac)
+
+        b = jax.vmap(jax.vmap(one_rhs))(src_i, src_fac)
+        u, info = pcg(C, b, M_inv=M_inv, tol=tol, maxiter=maxiter, matvec=matvec)
+    return u[..., 0], info["rel_residual"], info["iterations"]
+
+
+def _solve_chunk_direct(
+    coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
+    use_pallas=False,
+):
+    """2D direct-solver chunk: three cached jits (assembly / factor / solve)."""
+    C_raw, C = _assemble2(coords, sigma, free)
+    G_all = _factor2_direct(C)
+    return _pcg2_direct(
+        C_raw, C, G_all, coords, sigma, free, src_i, src_fac,
+        tol=tol, maxiter=maxiter, subtract=subtract, use_pallas=use_pallas,
+    )
 
 
 class LazyGrids:
@@ -675,6 +751,13 @@ class Executor:
                     adi_damp=self.config.adi_damp,
                     use_pallas=use_pallas,
                     use_pallas_lines=use_pallas_lines and on_accel,
+                )
+            if self.config.preconditioner == "direct":
+                return _solve_chunk_direct(
+                    *args,
+                    tol=self.config.tol,
+                    maxiter=self.config.maxiter,
+                    use_pallas=use_pallas,
                 )
             return _solve_chunk(
                 *args,
