@@ -166,14 +166,19 @@ def _squircle_blend(z: np.ndarray, r: np.ndarray, radius: float, m0: float):
     return z * f, r * f
 
 
-def build_grid2d(
+def build_profiles_2d(
     spec: GridSpec2D,
     domain_radius: float,
     local_model: LocalModel,
     electrode_positions: np.ndarray,
     source_positions: np.ndarray,
-) -> Grid2D:
-    """Build one batch's grid from the carved local model and electrode layout."""
+):
+    """The 1D phase of the grid build: graded/snapped axial lines, the
+    caliper-following wall profile, the detach radius and the far radial
+    stations. Everything downstream (node coordinates, conductivity sampling,
+    squircle blend) is a closed-form function of these profiles — which is what
+    lets the device-meshing path ship ~KB of profiles instead of ~MB of arrays
+    per batch (meshing/device_mesh.py)."""
     R = float(domain_radius)
     electrodes = np.asarray(electrode_positions, dtype=float)
     sources = np.asarray(source_positions, dtype=float)
@@ -220,6 +225,86 @@ def build_grid2d(
         spec.h_max_radial_frac * R,
     )
     far = _snap(far, invasion[(invasion > r_detach) & (invasion < R)])
+    return z_lines, wall_of_z, far, r_detach
+
+
+@dataclasses.dataclass
+class Grid2DLight:
+    """Profile-only grid: the device-meshing staging unit.
+
+    Carries exactly what the on-device builder (meshing/device_mesh.py) and the
+    host-side readout logic need — ~7 KB per batch instead of the ~3 MB of
+    coords/sigma arrays the full :class:`Grid2D` stages.
+    """
+
+    spec: GridSpec2D
+    domain_radius: float
+    z_axis: np.ndarray  # (NZ,)
+    wall_of_z: np.ndarray  # (NZ,)
+    far: np.ndarray  # (NR - n_wall_cells - n_blend_cells,)
+    r_detach: float
+    bottoms: np.ndarray  # (L,) layer bottom depths (recentered)
+    fz_radius: np.ndarray  # (L,) NaN = no invasion
+    sigma_fz: np.ndarray  # (L,)
+    sigma_uz: np.ndarray  # (L,)
+    mud_sigma: float
+
+    @property
+    def grid_shape(self):
+        return (self.spec.nz, self.spec.nr)
+
+    def axis_node_index(self, z: float, tol: float = 1e-3) -> int:
+        i = int(np.argmin(np.abs(self.z_axis - z)))
+        if abs(self.z_axis[i] - z) > tol:
+            raise ValueError(f"no grid line at z={z} (nearest {self.z_axis[i]})")
+        return i
+
+    def content_bytes(self) -> bytes:
+        """Stable content signature for the checkpoint key."""
+        parts = [self.z_axis, self.wall_of_z, self.far,
+                 np.asarray([self.r_detach, self.mud_sigma]),
+                 self.bottoms, self.fz_radius, self.sigma_fz, self.sigma_uz]
+        return b"".join(np.ascontiguousarray(p).tobytes() for p in parts)
+
+
+def build_grid2d_light(
+    spec: GridSpec2D,
+    domain_radius: float,
+    local_model: LocalModel,
+    electrode_positions: np.ndarray,
+    source_positions: np.ndarray,
+) -> Grid2DLight:
+    """Profile-only build for the device-meshing path (dip == 0)."""
+    z_lines, wall_of_z, far, r_detach = build_profiles_2d(
+        spec, domain_radius, local_model, electrode_positions, source_positions
+    )
+    return Grid2DLight(
+        spec=spec,
+        domain_radius=float(domain_radius),
+        z_axis=z_lines,
+        wall_of_z=wall_of_z,
+        far=far,
+        r_detach=float(r_detach),
+        bottoms=np.asarray(local_model.bottoms, dtype=float),
+        fz_radius=np.asarray(local_model.fz_radius, dtype=float),
+        sigma_fz=np.asarray(local_model.sigma_fz, dtype=float),
+        sigma_uz=np.asarray(local_model.sigma_uz, dtype=float),
+        mud_sigma=float(local_model.mud_sigma),
+    )
+
+
+def build_grid2d(
+    spec: GridSpec2D,
+    domain_radius: float,
+    local_model: LocalModel,
+    electrode_positions: np.ndarray,
+    source_positions: np.ndarray,
+) -> Grid2D:
+    """Build one batch's grid from the carved local model and electrode layout."""
+    R = float(domain_radius)
+    z_lines, wall_of_z, far, r_detach = build_profiles_2d(
+        spec, R, local_model, electrode_positions, source_positions
+    )
 
     # Node radial positions (NZ, NR): inside-wall fractions scale with the local wall
     # radius; blend stations interpolate from the wall to the detach radius.

@@ -23,7 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..meshing.carve import carve_local_model
-from ..meshing.grid2d import Grid2D, GridSpec2D, build_grid2d
+from ..meshing.grid2d import (
+    Grid2D,
+    Grid2DLight,
+    GridSpec2D,
+    build_grid2d,
+    build_grid2d_light,
+)
 from ..meshing.grid3d import Grid3D, GridSpec3D, build_grid3d
 from ..meshing.native import build_grid2d_native, build_grid3d_native, native_available
 from ..ops import assemble_stencil_2d, pcg
@@ -495,6 +501,11 @@ class ExecutorConfig:
     # Host meshing backend: the native C++ builder (native/grid2d.cpp) when
     # available, with transparent fallback to the numpy reference implementation.
     use_native_mesher: bool = True
+    # Build the 2D grids ON DEVICE from 1D profiles (meshing/device_mesh.py):
+    # ~7 KB staged per batch instead of ~3 MB of coords/sigma arrays — the
+    # host<->device link stops being the 2D bottleneck once solves are fast.
+    # None = auto: on for accelerator platforms (dip == 0 only), off on CPU.
+    device_meshing: bool | None = None
     # Observability/durability (SURVEY §5 aux subsystems):
     profile_dir: str | None = None  # jax.profiler trace of the solve phase
     checkpoint: str | None = None  # .npz path: per-chunk results, resume on rerun
@@ -523,6 +534,13 @@ class Executor:
                     "float32/bfloat16 hardware)"
                 )
             jax.config.update("jax_enable_x64", True)
+
+    def _device_meshing_on(self) -> bool:
+        """Resolve the device-meshing auto mode (2D float32 accelerator runs)."""
+        cfg = self.config.device_meshing
+        if cfg is None:
+            return self._devices[0].platform != "cpu" and self.config.dtype == "float32"
+        return bool(cfg)
 
     # ------------------------------------------------------------------- host side
     def prepare_batches(
@@ -572,6 +590,13 @@ class Executor:
                         dip_rad,
                         t.electrode_positions,
                         sources,
+                    )
+                if self._device_meshing_on():
+                    # Profile-only build: the (NZ, NR) arrays are constructed
+                    # on device inside the chunk program (device_mesh.py).
+                    return build_grid2d_light(
+                        self.config.spec, domain_radius, lm,
+                        t.electrode_positions, sources,
                     )
                 builder = (
                     build_grid2d_native
@@ -651,18 +676,23 @@ class Executor:
             P = jax.sharding.PartitionSpec
             mesh_sharding = jax.sharding.NamedSharding(mesh, P("batch"))
             solve_sharding = jax.sharding.NamedSharding(mesh, P("batch", "solve"))
-            shardings = [mesh_sharding] * 3 + [solve_sharding] * 2
+            n_mesh_arrays = 10 if isinstance(grids[0], Grid2DLight) else 3
+            shardings = [mesh_sharding] * n_mesh_arrays + [solve_sharding] * 2
         else:
             # Commit to the executor's device so jit runs there (the process default
             # device may be a different backend).
-            shardings = [self._devices[0]] * 5
+            shardings = [self._devices[0]] * 12
 
         results = np.full((n_measurements, n_tools), np.nan)
         self.last_report = {"chunks": [], "n_failed_solves": 0, "n_nan_readouts": 0}
 
         g0 = grids[0]
-        grid_shape = g0.coords.shape[:-1]  # (NZ, NR) or (NZ, NP, NR)
+        is_light = isinstance(g0, Grid2DLight)
+        grid_shape = (
+            g0.grid_shape if is_light else g0.coords.shape[:-1]
+        )  # (NZ, NR) or (NZ, NP, NR)
         cell_shape = tuple(n - 1 for n in grid_shape)
+        LMAX_LAYERS = 48  # fixed layer-table pad (one compiled shape per run)
 
         # Checkpoint/resume: long (hour-scale 3D) runs persist per-chunk results
         # so a crashed/preempted run resumes instead of recomputing. The key
@@ -693,8 +723,11 @@ class Executor:
             )
             h.update(repr(cfg_sig).encode())
             for t, g in zip(tasks, grids):
-                h.update(np.ascontiguousarray(g.coords).tobytes())
-                h.update(np.ascontiguousarray(g.sigma_cells).tobytes())
+                if is_light:
+                    h.update(g.content_bytes())
+                else:
+                    h.update(np.ascontiguousarray(g.coords).tobytes())
+                    h.update(np.ascontiguousarray(g.sigma_cells).tobytes())
                 for s in t.solves:
                     h.update(
                         repr(
@@ -731,6 +764,22 @@ class Executor:
         def dispatch(args):
             """Launch one chunk solve; returns lazy (u_axis, rel_res, iters)."""
             on_accel = self._devices[0].platform != "cpu"
+            if is_light:
+                # Build the (B, NZ, NR) arrays on device from the staged
+                # profiles; the result feeds the normal solver path.
+                from ..meshing.device_mesh import device_mesh_2d
+
+                spec = self.config.spec
+                coords, sigma, free = device_mesh_2d(
+                    *args[:10],
+                    dtype.type(g0.domain_radius),
+                    nz=spec.nz,
+                    nr=spec.nr,
+                    n_wall_cells=spec.n_wall_cells,
+                    n_blend_cells=spec.n_blend_cells,
+                    blend_m0=spec.blend_m0,
+                )
+                args = [coords, sigma, free, args[10], args[11]]
             use_pallas = self.config.use_pallas_stencil
             if use_pallas is None:
                 # Auto mode stays off on multi-device meshes: an opaque
@@ -775,8 +824,66 @@ class Executor:
                 mg_line_steps=self.config.mg_line_steps,
             )
 
+        def stage_sources(batch_tasks, batch_grids, B):
+            src_i = np.zeros((B, S, MAX_SOURCES), dtype=np.int32)
+            src_fac = np.zeros((B, S, MAX_SOURCES), dtype=dtype)
+            for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
+                for si, s in enumerate(t.solves):
+                    for k, (pos, fac) in enumerate(
+                        zip(s.source_positions, s.source_terms)
+                    ):
+                        src_i[bi, si, k] = g.axis_node_index(pos)
+                        src_fac[bi, si, k] = fac
+            return src_i, src_fac
+
+        def stage_light(start):
+            """Device-meshing staging: ~KB of 1D profiles per batch."""
+            batch_tasks = tasks[start : start + chunk]
+            batch_grids = grids[start : start + chunk]
+            B = chunk
+            nz = grid_shape[0]
+            nfar = batch_grids[0].far.size
+            z = np.zeros((B, nz), dtype=dtype)
+            wall = np.zeros((B, nz), dtype=dtype)
+            far = np.zeros((B, nfar), dtype=dtype)
+            rdet = np.zeros((B,), dtype=dtype)
+            bot = np.full((B, LMAX_LAYERS), np.inf, dtype=dtype)
+            fzr = np.full((B, LMAX_LAYERS), np.nan, dtype=dtype)
+            sfz = np.full((B, LMAX_LAYERS), np.nan, dtype=dtype)
+            suz = np.ones((B, LMAX_LAYERS), dtype=dtype)
+            nlay = np.ones((B,), dtype=np.int32)
+            mud = np.ones((B,), dtype=dtype)
+            for bi, g in enumerate(batch_grids):
+                L = g.bottoms.size
+                if L > LMAX_LAYERS:
+                    raise ValueError(
+                        f"carved model has {L} layers > LMAX_LAYERS={LMAX_LAYERS}"
+                    )
+                z[bi] = g.z_axis
+                wall[bi] = g.wall_of_z
+                far[bi] = g.far
+                rdet[bi] = g.r_detach
+                bot[bi, :L] = g.bottoms
+                fzr[bi, :L] = g.fz_radius
+                sfz[bi, :L] = g.sigma_fz
+                suz[bi, :L] = g.sigma_uz
+                nlay[bi] = L
+                mud[bi] = g.mud_sigma
+            for bi in range(len(batch_grids), B):  # padded lanes: unit medium
+                z[bi] = batch_grids[0].z_axis
+                wall[bi] = batch_grids[0].wall_of_z
+                far[bi] = batch_grids[0].far
+                rdet[bi] = batch_grids[0].r_detach
+            src_i, src_fac = stage_sources(batch_tasks, batch_grids, B)
+            return stage_sharded(
+                [z, wall, far, rdet, bot, fzr, sfz, suz, nlay, mud, src_i, src_fac],
+                shardings,
+            )
+
         def stage(start):
             """Assemble one chunk's arrays host-side and place them on devices."""
+            if is_light:
+                return stage_light(start)
             batch_tasks = tasks[start : start + chunk]
             batch_grids = grids[start : start + chunk]
             B = chunk  # pad to full chunk so one executable serves all dispatches
@@ -784,18 +891,11 @@ class Executor:
             coords = np.zeros((B,) + g0.coords.shape, dtype=dtype)
             sigma = np.zeros((B,) + cell_shape, dtype=dtype)
             free = np.zeros((B,) + grid_shape, dtype=bool)
-            src_i = np.zeros((B, S, MAX_SOURCES), dtype=np.int32)
-            src_fac = np.zeros((B, S, MAX_SOURCES), dtype=dtype)
-            for bi, (t, g) in enumerate(zip(batch_tasks, batch_grids)):
+            for bi, g in enumerate(batch_grids):
                 coords[bi] = g.coords
                 sigma[bi] = g.sigma_cells
                 free[bi] = g.free_mask
-                for si, s in enumerate(t.solves):
-                    for k, (pos, fac) in enumerate(
-                        zip(s.source_positions, s.source_terms)
-                    ):
-                        src_i[bi, si, k] = g.axis_node_index(pos)
-                        src_fac[bi, si, k] = fac
+            src_i, src_fac = stage_sources(batch_tasks, batch_grids, B)
             # Keep padded lanes numerically benign: unit coords, sigma 1.
             for bi in range(len(batch_tasks), B):
                 coords[bi] = batch_grids[0].coords
@@ -865,7 +965,7 @@ class Executor:
                             file=sys.stderr,
                         )
                         if attempt == 2:
-                            u_axis = np.zeros((B, S) + (g0.coords.shape[0],))
+                            u_axis = np.zeros((B, S) + (grid_shape[0],))
                             rel_res = np.full((B, S), np.inf)
                             iters = -1
                             break

@@ -188,3 +188,84 @@ def test_native_grid3d_builder_matches_python():
             g_py.sigma_cells, g_c.sigma_cells, rtol=1e-9, atol=0
         ), blend
         assert np.array_equal(g_py.free_mask, g_c.free_mask), blend
+
+
+def test_device_mesh_matches_host_build():
+    """The on-device grid builder (meshing/device_mesh.py) must reproduce the
+    host build's coordinates and conductivities from the 1D profiles (float32
+    noise only) — the device-meshing staging path's correctness anchor."""
+    import jax
+    import jax.numpy as jnp
+
+    from .conftest import reference_path
+    from remo3d_tpu import Model
+    from remo3d_tpu.meshing.carve import carve_local_model
+    from remo3d_tpu.meshing.device_mesh import device_mesh_2d
+    from remo3d_tpu.meshing.grid2d import (
+        GridSpec2D,
+        build_grid2d,
+        build_grid2d_light,
+    )
+    from remo3d_tpu.planner import plan_tasks
+
+    base = reference_path("Examples", "Example_01")
+    m = Model(["A2.0M0.5N", "B5.7A0.4M"])
+    m.set_model_parameters(
+        base + "/Input/Formation.txt", base + "/Input/Borehole.txt"
+    )
+    depths = np.arange(5.0, 5.4, 0.1)
+    sim_depths, tasks = plan_tasks(m.tools, m.sec, depths, 5)
+    mud = np.interp(sim_depths, m.borehole_model[:, 0], m.borehole_model[:, 2])
+    spec = GridSpec2D(nz=193, nr=41, n_wall_cells=6, n_blend_cells=3)
+    R = 50.0
+
+    grids, lights = [], []
+    for t in tasks[:2]:
+        lm = carve_local_model(
+            m.formation_model, m.borehole_model[:, :2],
+            float(mud[t.batch_index]), t.center_depth, R,
+            dip_rad=0.0, active_geometry_window=0.999,
+        )
+        sources = np.unique(np.concatenate([s.source_positions for s in t.solves]))
+        grids.append(build_grid2d(spec, R, lm, t.electrode_positions, sources))
+        lights.append(build_grid2d_light(spec, R, lm, t.electrode_positions, sources))
+
+    Lmax = max(g.bottoms.size for g in lights)
+    B = len(lights)
+    f32 = np.float32
+    z = np.stack([g.z_axis for g in lights]).astype(f32)
+    wall = np.stack([g.wall_of_z for g in lights]).astype(f32)
+    far = np.stack([g.far for g in lights]).astype(f32)
+    rdet = np.array([g.r_detach for g in lights], dtype=f32)
+    bot = np.full((B, Lmax), np.inf, dtype=f32)
+    fzr = np.full((B, Lmax), np.nan, dtype=f32)
+    sfz = np.full((B, Lmax), np.nan, dtype=f32)
+    suz = np.ones((B, Lmax), dtype=f32)
+    nlay = np.zeros((B,), dtype=np.int32)
+    mud_s = np.array([g.mud_sigma for g in lights], dtype=f32)
+    for i, g in enumerate(lights):
+        L = g.bottoms.size
+        bot[i, :L] = g.bottoms
+        fzr[i, :L] = g.fz_radius
+        sfz[i, :L] = g.sigma_fz
+        suz[i, :L] = g.sigma_uz
+        nlay[i] = L
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        coords, sigma, free = device_mesh_2d(
+            jnp.asarray(z), jnp.asarray(wall), jnp.asarray(far),
+            jnp.asarray(rdet), jnp.asarray(bot), jnp.asarray(fzr),
+            jnp.asarray(sfz), jnp.asarray(suz), jnp.asarray(nlay),
+            jnp.asarray(mud_s), np.float32(R),
+            nz=spec.nz, nr=spec.nr, n_wall_cells=spec.n_wall_cells,
+            n_blend_cells=spec.n_blend_cells, blend_m0=spec.blend_m0,
+        )
+    for i, g in enumerate(grids):
+        np.testing.assert_allclose(
+            np.asarray(coords[i]), g.coords.astype(f32), rtol=0, atol=2e-5 * R
+        )
+        # Conductivities are piecewise constant: identical except possibly at
+        # cells whose centroid sits within float noise of a layer boundary.
+        mismatch = np.asarray(sigma[i]) != g.sigma_cells.astype(f32)
+        assert mismatch.mean() < 1e-3, mismatch.sum()
+        np.testing.assert_array_equal(np.asarray(free[i]), g.free_mask)

@@ -337,3 +337,38 @@ def test_float64_mode_subprocess():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "F64_MODE_OK" in out.stdout, out.stdout
+
+
+def test_device_meshing_matches_host_meshing():
+    """device_meshing=True (profile staging + on-device grid build) vs the
+    host-meshed path on the same reduced model: identical physics to float32
+    mesh noise. The direct preconditioner keeps the CPU runtime small."""
+    base = reference_path("Examples", "Example_01")
+    tools = ["B5.7A0.4M", "A2.0M0.5N"]
+    depths = np.arange(5.0, 5.45, 0.1)
+
+    def run(device_meshing):
+        m = Model(tools)
+        m.set_model_parameters(
+            base + "/Input/Formation.txt", base + "/Input/Borehole.txt"
+        )
+        m.initialize_workers()
+        m.simulate_logs(
+            depths,
+            platform="cpu",
+            verbose=False,
+            grid_spec=SMALL_2D,
+            executor_overrides={
+                "preconditioner": "direct",
+                "chunk_size": 4,
+                "device_meshing": device_meshing,
+            },
+        )
+        return {t: np.array(m.logs[t][:, 1]) for t in tools}
+
+    host = run(False)
+    dev = run(True)
+    for t in tools:
+        rel = np.abs(dev[t] / host[t] - 1)
+        assert np.isfinite(dev[t]).all()
+        assert rel.max() < 5e-4, (t, rel)

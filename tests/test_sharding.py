@@ -195,3 +195,46 @@ def test_executor_sharded_direct3d_matches_single_device():
     assert np.all(np.isfinite(res_sharded))
     assert np.allclose(res_sharded, res_single, rtol=1e-4)
     assert np.allclose(res_sharded[:, 0], rho, rtol=0.05)
+
+
+def test_executor_sharded_device_meshing_matches_single_device():
+    """Device meshing (profile staging + on-device grid build) under batch-axis
+    sharding with the direct solver: the profile arrays shard on the batch
+    axis and the built grids inherit it; results match single-device."""
+    from remo3d_tpu import Model
+    from remo3d_tpu.meshing.grid2d import GridSpec2D
+    from remo3d_tpu.parallel.runtime import Executor, ExecutorConfig
+    from remo3d_tpu.planner import plan_tasks
+
+    spec = GridSpec2D(nz=129, nr=33, n_wall_cells=4, n_blend_cells=2)
+    rho = 6.0
+    formation = np.array([[-100.0, 100.0, np.nan, np.nan, rho]])
+    borehole = np.array([[-100.0, 0.1, rho], [100.0, 0.1, rho]])
+    m = Model(["A2.0M0.5N"])
+    m.set_model_parameters(formation, borehole, borehole_geometry_type="radius")
+    depths = np.arange(0.0, 1.51, 0.1)
+    sim_depths, tasks = plan_tasks(m.tools, m.sec, depths, 1)
+    mud = np.interp(sim_depths, m.borehole_model[:, 0], m.borehole_model[:, 2])
+
+    def run(devices_limit):
+        config = ExecutorConfig(
+            spec=spec,
+            platform="cpu",
+            preconditioner="direct",
+            device_meshing=True,
+            tol=1e-6,
+            chunk_size=16,
+        )
+        ex = Executor(config)
+        if devices_limit == 1:
+            ex._devices = ex._devices[:1]
+        grids = ex.prepare_batches(
+            tasks, m.formation_model, m.borehole_model[:, :2], mud, 50.0, 0.0, 0.999
+        )
+        return ex.run(tasks, grids, len(depths), 1)
+
+    res_sharded = run(8)
+    res_single = run(1)
+    assert np.all(np.isfinite(res_sharded))
+    assert np.allclose(res_sharded, res_single, rtol=1e-4)
+    assert np.allclose(res_sharded[:, 0], rho, rtol=0.03)
