@@ -505,7 +505,9 @@ class ExecutorConfig:
     # ~7 KB staged per batch instead of ~3 MB of coords/sigma arrays — the
     # host<->device link stops being the 2D bottleneck once solves are fast.
     # None = auto: on for accelerator platforms (dip == 0 only), off on CPU.
-    device_meshing: bool | None = None
+    # Shipped default False until the path is validated on real TPU hardware
+    # (the remote service was down throughout its development).
+    device_meshing: bool | None = False
     # Observability/durability (SURVEY §5 aux subsystems):
     profile_dir: str | None = None  # jax.profiler trace of the solve phase
     checkpoint: str | None = None  # .npz path: per-chunk results, resume on rerun

@@ -28,6 +28,8 @@ if "c96" in variant:
     kw["chunk_size"] = 96
 if "direct" in variant:
     kw["preconditioner"] = "direct"
+if "dm" in variant:
+    kw["device_meshing"] = True
 
 base = "/root/reference/Examples/Example_01"
 tools = ["B5.7A0.4M", "B4.48A1.62M", "M1.0A0.1B", "A2.0M0.5N", "N0.5M2.0A", "M4.0A0.5B"]
