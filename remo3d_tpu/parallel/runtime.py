@@ -659,6 +659,14 @@ class Executor:
             # default B=8 chunk programs above ~180k nodes (HTTP 500 from
             # tpu_compile_helper); small even chunks compile and run fine.
             base_chunk = min(base_chunk, 2)
+        if is_3d and self.config.precond3d == "direct":
+            # The banded-block factorization stores G (NZ, B, NPR, NPR) float32
+            # per chunk; cap the chunk so G stays within ~6 GB of HBM (the
+            # default 193x17x49 grid at B=8 is ~4.3 GB; finer azimuth specs
+            # would otherwise overflow).
+            nz3, np3, nr3 = grids[0].coords.shape[:-1]
+            g_bytes_per_batch = nz3 * (np3 * nr3) ** 2 * 4
+            base_chunk = max(2, min(base_chunk, int(6e9 // g_bytes_per_batch)))
         solve_budget = base_chunk * 5
         chunk = max(min(base_chunk, max(1, solve_budget // S)), n_batch_axis)
         # Quantize to a multiple of 8 (and of the batch mesh axis): odd batch
