@@ -88,6 +88,57 @@ def _dense_line_blocks(C):
     return d_m[..., None] * dn + d_0[..., None] * eye + d_p[..., None] * up
 
 
+def schur_fixedpoint_factor(C, passes=8, store_dtype=jnp.float32):
+    """Batched fixed-point approximation of the block-LDL^T Schur inverses.
+
+    The exact chain G_i = (D_i - L_i G_{i-1} U_{i-1})^{-1} is inherently
+    sequential: :func:`block_thomas_factor` runs one ``lax.scan`` step per
+    axial line, each inverting a small (B, NR, NR) batch — on TPU that is
+    NZ x NR sequential LU column-steps (~77k at production sizes), far from
+    the hardware's batched-matmul sweet spot. This variant iterates the same
+    recurrence JACOBI-style over the whole stack at once,
+
+        G^(0)_i = D_i^{-1},     G^(m)_i = (D_i - L_i G^(m-1)_{i-1} U_{i-1})^{-1},
+
+    so every pass is one batched (B*NZ, NR, NR) inversion plus tridiagonal
+    block products — ``passes`` x NR sequential column-steps total (~100x
+    fewer). After m passes G^(m)_i is EXACT for i <= m and equals the Schur
+    inverse of the chain truncated m lines back otherwise; the truncation
+    error decays like the operator's Green's function along z.
+
+    Safety (Loewner-order induction): S_i(exact) <= D_i gives
+    G^(0) = D^{-1} <= G_exact; congruence preserves order, so
+    G^(m-1) <= G_exact implies S^(m) = D - L G^(m-1) L^T >= S_exact > 0 and
+    G^(m) <= G_exact; likewise G^(m-1) >= G^(m-2) implies G^(m) >= G^(m-1).
+    Every iterate is therefore SPD and increases monotonically toward the
+    exact inverses — a valid PCG preconditioner at ANY pass count; ``passes``
+    only trades CG iterations against factorization time. Returns the same
+    (NZ, B, NR, NR) stack as :func:`block_thomas_factor` (the apply is
+    shared). Same role as the reference's sparse factorization hand-off to
+    NGSolve (remo3d/ngsolve_functions.py:46-56), batch-scheduled for the MXU.
+    """
+    D = _dense_line_blocks(C)  # (B, NZ, NR, NR)
+    u_m, u_0, u_p = _tri_diagonals_z(C)  # (B, NZ, NR)
+    # U_{i-1} diagonals aligned to line i (zero row at i = 0).
+    pad_z = lambda a: jnp.pad(a[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    um_s, u0_s, up_s = pad_z(u_m), pad_z(u_0), pad_z(u_p)
+    # L_i = U_{i-1}^T diagonals: l_d[r] = U[r+d, r].
+    l_m = jnp.pad(up_s[..., :-1], ((0, 0), (0, 0), (1, 0)))
+    l_0 = u0_s
+    l_p = jnp.pad(um_s[..., 1:], ((0, 0), (0, 0), (0, 1)))
+
+    def sym_inv(S):
+        G = jnp.linalg.inv(S)
+        return 0.5 * (G + jnp.swapaxes(G, -1, -2))
+
+    G = sym_inv(D)
+    for _ in range(passes):
+        G_prev = jnp.pad(G[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        T = _tri_matmul_left(l_m, l_0, l_p, G_prev)  # L_i G_{i-1}
+        G = sym_inv(D - _tri_matmul_right(T, um_s, u0_s, up_s))
+    return jnp.moveaxis(G, 1, 0).astype(store_dtype)  # (NZ, B, NR, NR)
+
+
 def block_thomas_factor(C, store_dtype=jnp.float32):
     """Factorize the block-tridiagonal stencil operator.
 

@@ -155,6 +155,88 @@ def block_thomas_factor_3d(C3, np_: int, nr: int, store_dtype=jnp.float32):
     return G_all
 
 
+def schur_fixedpoint_factor_3d(
+    C3, np_: int, nr: int, passes=6, z_block=16, store_dtype=jnp.float32
+):
+    """Batched fixed-point approximation of the 3D Schur-inverse stack.
+
+    Same construction (and the same Loewner-order SPD/monotonicity guarantee)
+    as :func:`remo3d_tpu.ops.block_direct.schur_fixedpoint_factor`: iterate
+    G^(m)_i = (D_i - L_i G^(m-1)_{i-1} U_{i-1})^{-1} Jacobi-style from
+    G^(0) = D^{-1}, so the factorization is ``passes`` batched inversions of
+    the whole plane stack instead of one NZ-step sequential scan of small
+    inversions (NZ x NPR sequential LU column-steps -> passes x NPR). After m
+    passes the stack is exact for the first m planes and truncates the chain m
+    planes back elsewhere — CG absorbs the (geometrically small) difference.
+
+    The per-pass inversions run in ``z_block``-plane groups under ``lax.map``
+    to bound workspace; transient memory is ~2 G-sized stacks (current +
+    previous pass), so callers sizing chunks against HBM should budget 2x the
+    factorization storage of the exact scan. Returns the same (NZ, B, NPR,
+    NPR) stack; :func:`block_thomas_apply_3d` is shared.
+    """
+    B, nz = C3.shape[0], C3.shape[1]
+    npr = np_ * nr
+    diag_coefs = _plane_coefs(C3, 0, np_, nr)  # 9 x (B, NZ, NPR)
+    up_coefs = _plane_coefs(C3, 1, np_, nr)
+    shift1 = lambda a: jnp.pad(a[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    up_prev = [shift1(c) for c in up_coefs]  # U_{i-1} aligned to plane i
+
+    def l_coefs(up_prev):
+        out = []
+        for k, (dp, dr) in enumerate(_PLANE_OFFS):
+            off = _flat_offset(dp, dr, nr)
+            u_md = up_prev[len(_PLANE_OFFS) - 1 - k]
+            out.append(jnp.roll(u_md, -off, axis=-1))
+        return out
+
+    l_prev = l_coefs(up_prev)
+
+    # z-major, padded to a multiple of z_block (padded planes factor to I:
+    # zero coefficients -> promote_diag identity, zero couplings).
+    nzp = -(-nz // z_block) * z_block
+    zpad = lambda a: jnp.pad(
+        jnp.moveaxis(a, 1, 0), ((0, nzp - nz),) + ((0, 0),) * (a.ndim - 1)
+    )
+    d9_z = [zpad(c) for c in diag_coefs]
+    u9_z = [zpad(c) for c in up_prev]
+    l9_z = [zpad(c) for c in l_prev]
+
+    def sym_inv(S):
+        G = jnp.linalg.inv(S)
+        return 0.5 * (G + jnp.swapaxes(G, -1, -2))
+
+    blk = lambda a: a.reshape((nzp // z_block, z_block) + a.shape[1:])
+
+    def pass_once(G):
+        # G, G_prev: (NZP, B, NPR, NPR)
+        G_prev = jnp.pad(G[:-1], ((1, 0), (0, 0), (0, 0), (0, 0)))
+
+        def one_block(inp):
+            d9 = inp[:9]
+            u9 = inp[9:18]
+            l9 = inp[18:27]
+            Gp = inp[27]
+            D = _dense_block(list(d9), np_, nr, promote_diag=True)
+            T = _banded_matmul_left(list(l9), Gp, np_, nr)
+            S = D - _banded_matmul_right(T, list(u9), np_, nr)
+            return sym_inv(S)
+
+        xs = tuple(blk(a) for a in d9_z + u9_z + l9_z) + (blk(G_prev),)
+        Gb = jax.lax.map(one_block, xs)
+        return Gb.reshape((nzp, B, npr, npr))
+
+    def first_block(inp):
+        return sym_inv(_dense_block(list(inp), np_, nr, promote_diag=True))
+
+    G = jax.lax.map(first_block, tuple(blk(a) for a in d9_z)).reshape(
+        (nzp, B, npr, npr)
+    )
+    for _ in range(passes):
+        G = pass_once(G)
+    return G[:nz].astype(store_dtype)
+
+
 def block_thomas_apply_3d(G_all, C3, b, np_: int, nr: int):
     """x = M^{-1} b. G_all: (NZ, B, NPR, NPR); b: (B, [S,] NZ, NP, NR)."""
     B, nz = C3.shape[0], C3.shape[1]

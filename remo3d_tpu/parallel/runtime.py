@@ -90,12 +90,13 @@ def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw):
 @partial(
     jax.jit,
     static_argnames=(
-        "tol", "maxiter", "precond", "adi_damp", "use_pallas", "use_pallas_lines"
+        "tol", "maxiter", "precond", "adi_damp", "use_pallas", "use_pallas_lines",
+        "schedule",
     ),
 )
 def _pcg3(
     C, b, u_axis_offset, G3=None, *, tol, maxiter, precond="adi", adi_damp=0.6,
-    use_pallas=False, use_pallas_lines=False,
+    use_pallas=False, use_pallas_lines=False, schedule="scan",
 ):
     """Stage 3: pole-tied line-preconditioned CG + axis readout.
 
@@ -167,13 +168,20 @@ def _pcg3(
         # inversion scan would otherwise bloat this program — and each
         # application is two batched-matmul sweeps, replacing the ~10^2
         # ADI-preconditioned iterations with a handful.
-        from ..ops.block_direct3d import block_thomas_apply_3d
-
         np3, nr3 = b.shape[-2], b.shape[-1]
+        if schedule == "bcr":
+            from ..ops.block_bcr3d import bcr_apply_3d
 
-        def M_inv(r):
-            r = pole_project(r)
-            return pole_project(block_thomas_apply_3d(G3, C, r, np3, nr3))
+            def M_inv(r):
+                r = pole_project(r)
+                return pole_project(bcr_apply_3d(G3, r, np3, nr3))
+
+        else:
+            from ..ops.block_direct3d import block_thomas_apply_3d
+
+            def M_inv(r):
+                r = pole_project(r)
+                return pole_project(block_thomas_apply_3d(G3, C, r, np3, nr3))
 
     elif precond == "adi":
         def M_inv(r):
@@ -199,6 +207,7 @@ def _pcg3(
 def _solve_chunk_3d(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
     precond="adi", adi_damp=0.6, use_pallas=False, use_pallas_lines=False,
+    schedule="scan", factor_passes=None,
 ):
     """3D chunk solve: hex assembly + singularity subtraction + pole-tied line-CG.
 
@@ -234,18 +243,34 @@ def _solve_chunk_3d(
 
         b = build_rhs(src_i, src_fac)
         u_axis_offset = jnp.zeros(b.shape[:-3] + (nz,), dtype=b.dtype)
-    G3 = _factor3_direct(C, np_=np_, nr=nr) if precond == "direct" else None
+    G3 = (
+        _factor3_direct(C, np_=np_, nr=nr, schedule=schedule, passes=factor_passes)
+        if precond == "direct"
+        else None
+    )
     return _pcg3(
         C, b, u_axis_offset, G3, tol=tol, maxiter=maxiter, precond=precond,
         adi_damp=adi_damp, use_pallas=use_pallas, use_pallas_lines=use_pallas_lines,
+        schedule=schedule,
     )
 
 
-@partial(jax.jit, static_argnames=("np_", "nr"))
-def _factor3_direct(C, *, np_, nr):
-    """3D direct stage: banded-block-LDL^T factorization in its own jit
-    (the inversion scan would bloat the CG program — the same large-program
-    compiler-fault hazard the 3-stage 3D split works around)."""
+@partial(jax.jit, static_argnames=("np_", "nr", "schedule", "passes"))
+def _factor3_direct(C, *, np_, nr, schedule="scan", passes=None):
+    """3D direct stage: factorization in its own jit (the inversion stages
+    would bloat the CG program — the same large-program compiler-fault hazard
+    the 3-stage 3D split works around). ``schedule``: "scan" = exact
+    sequential banded-block-LDL^T; "bcr" = exact block cyclic reduction
+    (log-depth batched stages, ops/block_bcr3d.py); "fp"/``passes`` =
+    batched Schur fixed-point approximation."""
+    if schedule == "bcr":
+        from ..ops.block_bcr3d import bcr_factor_3d
+
+        return bcr_factor_3d(C, np_, nr)
+    if schedule == "fp" or passes is not None:
+        from ..ops.block_direct3d import schur_fixedpoint_factor_3d
+
+        return schur_fixedpoint_factor_3d(C, np_, nr, passes=8 if passes is None else passes)
     from ..ops.block_direct3d import block_thomas_factor_3d
 
     return block_thomas_factor_3d(C, np_, nr)
@@ -360,18 +385,37 @@ def _assemble2(coords, sigma, free):
     return C_raw, apply_dirichlet(C_raw, free)
 
 
-@jax.jit
-def _factor2_direct(C):
-    """2D stage 2 (direct): block-LDL^T factorization (ops/block_direct.py)."""
+@partial(jax.jit, static_argnames=("schedule", "passes"))
+def _factor2_direct(C, *, schedule="scan", passes=None):
+    """2D stage 2 (direct): factorize the block-tridiagonal operator.
+
+    ``schedule``: "scan" = the exact sequential block-LDL^T chain;
+    "bcr" = exact block cyclic reduction (log-depth batched stages — the
+    TPU schedule, ops/block_bcr.py); "fp" = the batched Schur fixed-point
+    approximation with ``passes`` whole-stack inversions (valid SPD
+    preconditioner at any pass count, but window truncation converges
+    slowly on the production elliptic chain — measured 471 CG iterations
+    at 8 passes vs 4 for the exact factor)."""
+    if schedule == "bcr":
+        from ..ops.block_bcr import bcr_factor
+
+        return bcr_factor(C)
+    if schedule == "fp" or passes is not None:
+        from ..ops.block_direct import schur_fixedpoint_factor
+
+        return schur_fixedpoint_factor(C, passes=8 if passes is None else passes)
     from ..ops.block_direct import block_thomas_factor
 
     return block_thomas_factor(C)
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "subtract", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("tol", "maxiter", "subtract", "use_pallas", "schedule"),
+)
 def _pcg2_direct(
     C_raw, C, G_all, coords, sigma, free, src_i, src_fac, *, tol, maxiter,
-    subtract=True, use_pallas=False,
+    subtract=True, use_pallas=False, schedule="scan",
 ):
     """2D stage 3 (direct): load build + direct-preconditioned CG + axis readout.
 
@@ -387,7 +431,12 @@ def _pcg2_direct(
 
     nz, nr = coords.shape[-3], coords.shape[-2]
     freeb = free[:, None]
-    M_inv = lambda r: block_thomas_apply(G_all, C, r)
+    if schedule == "bcr":
+        from ..ops.block_bcr import bcr_apply
+
+        M_inv = lambda r: bcr_apply(G_all, r)
+    else:
+        M_inv = lambda r: block_thomas_apply(G_all, C, r)
     if use_pallas:
         from ..ops.multigrid import make_stencil_apply
 
@@ -417,14 +466,15 @@ def _pcg2_direct(
 
 def _solve_chunk_direct(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
-    use_pallas=False,
+    use_pallas=False, schedule="scan", factor_passes=None,
 ):
     """2D direct-solver chunk: three cached jits (assembly / factor / solve)."""
     C_raw, C = _assemble2(coords, sigma, free)
-    G_all = _factor2_direct(C)
+    G_all = _factor2_direct(C, schedule=schedule, passes=factor_passes)
     return _pcg2_direct(
         C_raw, C, G_all, coords, sigma, free, src_i, src_fac,
         tol=tol, maxiter=maxiter, subtract=subtract, use_pallas=use_pallas,
+        schedule=schedule,
     )
 
 
@@ -479,6 +529,19 @@ class ExecutorConfig:
     # "adi" (damped z-p-r-p-z sweep), "lines" (additive), or "direct"
     # (banded-block LDL^T, ops/block_direct3d.py)
     precond3d: str = "adi"
+    # Direct-factorization schedule (2D): "scan" = exact sequential block-
+    # LDL^T chain; "bcr" = exact block cyclic reduction — log2(NZ) batched
+    # stages for BOTH factor and apply, the TPU-native schedule
+    # (ops/block_bcr.py); "fp" = batched Schur fixed-point with
+    # direct_factor_passes whole-stack inversions (valid SPD preconditioner
+    # at any pass count, but window truncation converges slowly on the
+    # production elliptic chain — 471 CG iters at 8 passes vs 4 exact; kept
+    # as a measured-and-documented alternative).
+    direct_schedule: str = "scan"
+    # "fp" pass count; a non-None value also implies schedule "fp" for
+    # backward compatibility. All three schedules cover 2D and 3D
+    # (ops/block_bcr3d.py for the 3D "bcr" path).
+    direct_factor_passes: int | None = None
     adi_damp: float = 0.6
     # Symmetric half-plane Pallas stencil for the 3D operator (7x faster chunks
     # on v5e vs the XLA 27-plane apply inside the CG loop). None = auto: on for
@@ -666,7 +729,15 @@ class Executor:
             # would otherwise overflow).
             nz3, np3, nr3 = grids[0].coords.shape[:-1]
             g_bytes_per_batch = nz3 * (np3 * nr3) ** 2 * 4
-            base_chunk = max(2, min(base_chunk, int(6e9 // g_bytes_per_batch)))
+            # The fixed-point factorization holds the current AND previous
+            # pass stacks transiently (2x); cyclic reduction stores ~1.5x
+            # (G levels + dense off-diagonal levels) plus a transient.
+            budget = 6e9
+            if self.config.direct_factor_passes is not None:
+                budget = 3e9
+            elif self.config.direct_schedule == "bcr":
+                budget = 3.5e9
+            base_chunk = max(2, min(base_chunk, int(budget // g_bytes_per_batch)))
         solve_budget = base_chunk * 5
         chunk = max(min(base_chunk, max(1, solve_budget // S)), n_batch_axis)
         # Quantize to a multiple of 8 (and of the batch mesh axis): odd batch
@@ -725,6 +796,8 @@ class Executor:
                 self.config.maxiter,
                 self.config.preconditioner,
                 self.config.precond3d,
+                self.config.direct_schedule,
+                self.config.direct_factor_passes,
                 self.config.adi_damp,
                 self.config.fail_residual,
                 readout_factor,
@@ -810,6 +883,8 @@ class Executor:
                     adi_damp=self.config.adi_damp,
                     use_pallas=use_pallas,
                     use_pallas_lines=use_pallas_lines and on_accel,
+                    schedule=self.config.direct_schedule,
+                    factor_passes=self.config.direct_factor_passes,
                 )
             if self.config.preconditioner == "direct":
                 return _solve_chunk_direct(
@@ -817,6 +892,8 @@ class Executor:
                     tol=self.config.tol,
                     maxiter=self.config.maxiter,
                     use_pallas=use_pallas,
+                    schedule=self.config.direct_schedule,
+                    factor_passes=self.config.direct_factor_passes,
                 )
             return _solve_chunk(
                 *args,

@@ -28,6 +28,10 @@ if "c96" in variant:
     kw["chunk_size"] = 96
 if "direct" in variant:
     kw["preconditioner"] = "direct"
+if "fp" in variant:  # e.g. direct_fp8: batched Schur fixed-point, 8 passes
+    kw["direct_factor_passes"] = int(variant.split("fp")[-1].split("_")[0] or 8)
+if "bcr" in variant:  # direct_bcr: block cyclic reduction (log-depth)
+    kw["direct_schedule"] = "bcr"
 if "dm" in variant:
     kw["device_meshing"] = True
 

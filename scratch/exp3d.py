@@ -12,8 +12,12 @@ variant = sys.argv[1] if len(sys.argv) > 1 else "base"
 kw = {}
 if variant == "plines":
     kw["use_pallas_lines"] = True
-if variant == "direct":
+if "direct" in variant:
     kw["precond3d"] = "direct"
+if "fp" in variant:  # e.g. direct_fp6: batched Schur fixed-point, 6 passes
+    kw["direct_factor_passes"] = int(variant.split("fp")[-1].split("_")[0] or 6)
+if "bcr" in variant:  # direct_bcr: block cyclic reduction (log-depth)
+    kw["direct_schedule"] = "bcr"
 
 bm = "/root/reference/Examples/Benchmark models"
 depths = np.arange(5.0, 29.76, 0.25)  # 100 measurement points (bench.py workload)
