@@ -35,6 +35,7 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
     except Exception:
         pass
 
+from .diff import DifferentiableLog  # noqa: F401,E402
 from .model import Model  # noqa: F401,E402
 
-__all__ = ["Model"]
+__all__ = ["Model", "DifferentiableLog"]

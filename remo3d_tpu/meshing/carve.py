@@ -34,6 +34,12 @@ class LocalModel:
     sigma_uz: np.ndarray
     borehole: np.ndarray
     mud_sigma: float
+    # Provenance for the differentiable path (remo3d_tpu.diff): global
+    # formation-table row of each kept layer, and which kept layers had their
+    # out-of-window invasion zone removed with the FZ value promoted to UZ
+    # (their "UZ" conductivity is the global row's FZ parameter).
+    global_rows: np.ndarray | None = None
+    fz_promoted: np.ndarray | None = None
 
     @property
     def invasion_radii(self) -> np.ndarray:
@@ -75,11 +81,13 @@ def carve_local_model(
     keep = np.any(d < active_radius, axis=1) | (
         (local[:, 0] < 0) & (local[:, 1] > 0)
     )
+    global_rows = np.flatnonzero(keep)
     local = local[keep, :]
 
     # Invasion zones outside the active window: remove and promote UZ resistivity
     # (gmsh_functions.py:113-134 / netgen_functions.py:77-89).
     has_fz = ~np.isnan(local[:, 2])
+    remove = np.zeros(local.shape[0], dtype=bool)
     if np.any(has_fz):
         if dip_rad == 0:
             x = np.repeat(local[has_fz, 2][:, None], 2, axis=1)
@@ -96,7 +104,6 @@ def carve_local_model(
             & (local[has_fz, 1] > 0)
             & (local[has_fz, 2] < active_radius)
         )
-        remove = np.zeros(local.shape[0], dtype=bool)
         remove[has_fz] = corners_out & ~line_in
         # When the invasion boundary lies entirely outside the active window, the
         # in-domain part of the layer is fully invaded: the layer's single
@@ -129,4 +136,6 @@ def carve_local_model(
         sigma_uz=sigma_uz,
         borehole=borehole,
         mud_sigma=1.0 / float(mud_resistivity),
+        global_rows=global_rows,
+        fz_promoted=remove,
     )

@@ -67,6 +67,12 @@ class Grid2D:
     coords: np.ndarray  # (NZ, NR, 2) physical (z, r) node positions
     sigma_cells: np.ndarray  # (NZ-1, NR-1) cell conductivities
     free_mask: np.ndarray  # (NZ, NR) True on non-Dirichlet nodes
+    # Differentiable-path provenance (remo3d_tpu.diff), None unless requested:
+    # local layer index per cell (-1 = borehole mud column) and the invaded-
+    # zone mask — together with LocalModel.global_rows/fz_promoted these map
+    # every cell to one global formation parameter.
+    region_layer: np.ndarray | None = None  # (NZ-1, NR-1) int32
+    region_invaded: np.ndarray | None = None  # (NZ-1, NR-1) bool
 
     def axis_node_index(self, z: float, tol: float = 1e-3) -> int:
         """Index of the axial grid line carrying position ``z`` (snapped exactly)."""
@@ -328,6 +334,9 @@ def build_grid2d(
     )
     sigma_cells = _sample_sigma(local_model, zc, rc)
     sigma_cells[:, : spec.n_wall_cells] = local_model.mud_sigma  # borehole column
+    layer_idx, invaded = _sample_region(local_model, zc, rc)
+    layer_idx[:, : spec.n_wall_cells] = -1  # mud column
+    invaded[:, : spec.n_wall_cells] = False
 
     # ---- Squircle blend to the exact circular boundary ----------------------------
     z_b, r_b = _squircle_blend(z_nodes, r_nodes, R, spec.blend_m0)
@@ -344,11 +353,15 @@ def build_grid2d(
         coords=coords,
         sigma_cells=sigma_cells,
         free_mask=free_mask,
+        region_layer=layer_idx,
+        region_invaded=invaded,
     )
 
 
-def _sample_sigma(local_model: LocalModel, zc: np.ndarray, rc: np.ndarray) -> np.ndarray:
-    """Piecewise-constant conductivity at cell centroids (dip == 0).
+def _sample_region(
+    local_model: LocalModel, zc: np.ndarray, rc: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(local layer index, invaded mask) at cell centroids (dip == 0).
 
     Layer lookup by z; invasion zone where r < FZ_radius. First/last layers extend
     to infinity (the reference stretches them past the domain instead,
@@ -358,6 +371,12 @@ def _sample_sigma(local_model: LocalModel, zc: np.ndarray, rc: np.ndarray) -> np
     idx = np.clip(np.searchsorted(bottoms, zc), 0, bottoms.size - 1)
     fz_r = np.nan_to_num(local_model.fz_radius[idx], nan=-1.0)
     invaded = rc < fz_r
+    return idx.astype(np.int32), invaded
+
+
+def _sample_sigma(local_model: LocalModel, zc: np.ndarray, rc: np.ndarray) -> np.ndarray:
+    """Piecewise-constant conductivity at cell centroids (dip == 0)."""
+    idx, invaded = _sample_region(local_model, zc, rc)
     sigma = np.where(
         invaded,
         np.nan_to_num(local_model.sigma_fz[idx], nan=0.0),
