@@ -95,6 +95,14 @@ class Grid3D:
     coords: np.ndarray  # (NZ, NP, NR, 3) physical (x, y, z)
     sigma_cells: np.ndarray  # (NZ-1, NP-1, NR-1)
     free_mask: np.ndarray  # (NZ, NP, NR)
+    # Differentiable-path provenance (remo3d_tpu.diff), None unless
+    # ``with_regions`` was requested: per-cell LOCAL-layer weights such that
+    # sigma_uz_cell = weights @ sigma_uz (exactly _zeta_average_sigma for the
+    # "arithmetic" blend; centroid one-hot otherwise), the centroid layer of
+    # invaded cells (-1 elsewhere), and the fixed (mud-column) mask.
+    region_uz_weights: np.ndarray | None = None  # (NZ-1, NP-1, NR-1, L)
+    region_fz_layer: np.ndarray | None = None  # (NZ-1, NP-1, NR-1) int32
+    region_fixed: np.ndarray | None = None  # (NZ-1, NP-1, NR-1) bool
 
     def axis_node_index(self, z: float, tol: float = 1e-3) -> int:
         i = int(np.argmin(np.abs(self.z_axis - z)))
@@ -145,6 +153,28 @@ def _zeta_average_sigma(zeta_lo, zeta_hi, zeta_c, bottoms, sigma_uz, blend):
     raise ValueError(f"unknown sigma_blend {blend!r}")
 
 
+def _zeta_overlap_weights(zeta_lo, zeta_hi, idx_c, bottoms):
+    """Per-cell layer weights of the ARITHMETIC sub-cell blend.
+
+    w_l is the fraction of the cell's zeta extent inside layer l (layer l
+    spans (bottoms[l-1], bottoms[l]); first/last layers extend to infinity),
+    so ``sigma_cell = sum_l w_l sigma_l`` reproduces
+    :func:`_zeta_average_sigma` with ``blend="arithmetic"`` exactly — the
+    linear-in-sigma form the differentiable path (remo3d_tpu.diff) traces.
+    Degenerate (zero-extent) cells fall back to the centroid one-hot.
+    """
+    L = bottoms.size
+    knots = bottoms[:-1]
+    k_hi = np.concatenate([knots, [np.inf]])
+    k_lo = np.concatenate([[-np.inf], knots])
+    lo = zeta_lo[..., None]
+    hi = zeta_hi[..., None]
+    ov = np.clip(np.minimum(hi, k_hi) - np.maximum(lo, k_lo), 0.0, None)
+    ext = (zeta_hi - zeta_lo)[..., None]
+    onehot = np.eye(L)[idx_c]
+    return np.where(ext > 1e-12, ov / np.where(ext > 0, ext, 1.0), onehot)
+
+
 def build_grid3d(
     spec: GridSpec3D,
     domain_radius: float,
@@ -152,6 +182,7 @@ def build_grid3d(
     dip_rad: float,
     electrode_positions: np.ndarray,
     source_positions: np.ndarray,
+    with_regions: bool = False,
 ) -> Grid3D:
     R = float(domain_radius)
     a = float(np.tan(dip_rad))
@@ -246,6 +277,7 @@ def build_grid3d(
     idx = np.clip(np.searchsorted(bottoms, zeta_c), 0, bottoms.size - 1)
     fz_r = np.nan_to_num(local_model.fz_radius[idx], nan=-1.0)
     sigma_uz_cells = local_model.sigma_uz[idx]
+    zeta_lo = zeta_hi = None
     if spec.sigma_blend != "centroid" and bottoms.size > 1:
         # Sub-cell homogenization: average sigma_uz over the cell's zeta extent
         # instead of sampling the centroid — first-order-accurate treatment of
@@ -270,6 +302,24 @@ def build_grid3d(
     )
     sigma_cells[:, :, : spec.n_wall_cells] = local_model.mud_sigma
 
+    region_uz_weights = region_fz_layer = region_fixed = None
+    if with_regions:
+        if zeta_lo is not None and spec.sigma_blend == "arithmetic":
+            W = _zeta_overlap_weights(zeta_lo, zeta_hi, idx, bottoms)
+        elif zeta_lo is None:  # centroid lookup (or a single layer)
+            W = np.eye(bottoms.size)[idx]
+        else:
+            raise ValueError(
+                "differentiable regions require sigma_blend 'arithmetic' or "
+                f"'centroid', not {spec.sigma_blend!r} (the harmonic/mixed "
+                "blends are nonlinear in sigma)"
+            )
+        region_uz_weights = W.astype(np.float32)
+        region_fz_layer = np.where(rc < fz_r, idx, -1).astype(np.int32)
+        region_fz_layer[:, :, : spec.n_wall_cells] = -1
+        region_fixed = np.zeros(rc.shape, dtype=bool)
+        region_fixed[:, :, : spec.n_wall_cells] = True
+
     free_mask = np.ones((spec.nz, spec.np_, spec.nr), dtype=bool)
     free_mask[0] = False
     free_mask[-1] = False
@@ -281,4 +331,7 @@ def build_grid3d(
         coords=coords,
         sigma_cells=sigma_cells,
         free_mask=free_mask,
+        region_uz_weights=region_uz_weights,
+        region_fz_layer=region_fz_layer,
+        region_fixed=region_fixed,
     )
