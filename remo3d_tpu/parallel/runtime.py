@@ -525,19 +525,27 @@ class ExecutorConfig:
     # 3D grids carry ~160k nodes each (vs ~10k in 2D); chunks are bounded
     # separately so one dispatch stays within compile/memory limits.
     chunk_size_3d: int = 8
-    preconditioner: str = "multigrid"  # "local" (Jacobi) or "multigrid"
-    # "adi" (damped z-p-r-p-z sweep), "lines" (additive), or "direct"
-    # (banded-block LDL^T, ops/block_direct3d.py)
-    precond3d: str = "adi"
-    # Direct-factorization schedule (2D): "scan" = exact sequential block-
-    # LDL^T chain; "bcr" = exact block cyclic reduction — log2(NZ) batched
-    # stages for BOTH factor and apply, the TPU-native schedule
-    # (ops/block_bcr.py); "fp" = batched Schur fixed-point with
-    # direct_factor_passes whole-stack inversions (valid SPD preconditioner
-    # at any pass count, but window truncation converges slowly on the
-    # production elliptic chain — 471 CG iters at 8 passes vs 4 exact; kept
-    # as a measured-and-documented alternative).
-    direct_schedule: str = "scan"
+    # 2D: "auto", "local" (Jacobi), "multigrid", or "direct" (batched
+    # block-LDL^T, ops/block_direct.py). "auto" resolves per platform at
+    # executor init: CPU -> "direct" (measured 31x faster end-to-end: 4 CG
+    # iterations vs 11, and the factorization replaces the MG setup);
+    # accelerators -> "multigrid" (the TPU-validated round-2 path) until the
+    # direct/bcr schedule is validated on real TPU hardware.
+    preconditioner: str = "auto"
+    # 3D: "auto", "adi" (damped z-p-r-p-z sweep), "lines" (additive), or
+    # "direct" (banded-block LDL^T, ops/block_direct3d.py). "auto": CPU ->
+    # "direct" (4 CG iterations vs 314), accelerators -> "adi" (validated).
+    precond3d: str = "auto"
+    # Direct-factorization schedule: "auto" (CPU -> "scan", accelerators ->
+    # "bcr"); "scan" = exact sequential block-LDL^T chain (LAPACK-friendly,
+    # hostile to TPU — NZ x NR sequential LU column-steps); "bcr" = exact
+    # block cyclic reduction — log2(NZ) batched stages for BOTH factor and
+    # apply, the TPU-native schedule (ops/block_bcr.py); "fp" = batched Schur
+    # fixed-point with direct_factor_passes whole-stack inversions (valid SPD
+    # preconditioner at any pass count, but window truncation converges
+    # slowly on the production elliptic chain — 471 CG iters at 8 passes vs
+    # 4 exact; kept as a measured-and-documented alternative).
+    direct_schedule: str = "auto"
     # "fp" pass count; a non-None value also implies schedule "fp" for
     # backward compatibility. All three schedules cover 2D and 3D
     # (ops/block_bcr3d.py for the 3D "bcr" path).
@@ -589,6 +597,24 @@ class Executor:
         self._devices = (
             jax.devices(config.platform) if config.platform else jax.devices()
         )
+        # Resolve the "auto" solver knobs per platform (docstrings at the
+        # field definitions). Accelerator picks stay on the TPU-validated
+        # round-2 paths until the direct/bcr schedules are hardware-validated.
+        on_accel = self._devices[0].platform != "cpu"
+        auto = {}
+        if config.preconditioner == "auto":
+            auto["preconditioner"] = "multigrid" if on_accel else "direct"
+        if config.precond3d == "auto":
+            auto["precond3d"] = "adi" if on_accel else "direct"
+        if config.direct_schedule == "auto":
+            # An explicit pass count selects the fixed-point factor (backward
+            # compatibility — the bcr/scan branches would ignore it).
+            if config.direct_factor_passes is not None:
+                auto["direct_schedule"] = "fp"
+            else:
+                auto["direct_schedule"] = "bcr" if on_accel else "scan"
+        if auto:
+            self.config = config = dataclasses.replace(config, **auto)
         if config.dtype == "float64":
             # Without the x64 flag JAX silently downcasts float64 staging arrays
             # to float32 — the "f64 mode" would be a no-op. CPU only: float64

@@ -32,6 +32,10 @@ if "fp" in variant:  # e.g. direct_fp8: batched Schur fixed-point, 8 passes
     kw["direct_factor_passes"] = int(variant.split("fp")[-1].split("_")[0] or 8)
 if "bcr" in variant:  # direct_bcr: block cyclic reduction (log-depth)
     kw["direct_schedule"] = "bcr"
+elif "direct" in variant and "fp" not in variant:
+    # plain "direct" keeps meaning the sequential scan factor (the "auto"
+    # default now resolves to bcr on accelerators).
+    kw["direct_schedule"] = "scan"
 if "dm" in variant:
     kw["device_meshing"] = True
 

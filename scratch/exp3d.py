@@ -18,6 +18,10 @@ if "fp" in variant:  # e.g. direct_fp6: batched Schur fixed-point, 6 passes
     kw["direct_factor_passes"] = int(variant.split("fp")[-1].split("_")[0] or 6)
 if "bcr" in variant:  # direct_bcr: block cyclic reduction (log-depth)
     kw["direct_schedule"] = "bcr"
+elif "direct" in variant and "fp" not in variant:
+    # plain "direct" keeps meaning the sequential scan factor (the "auto"
+    # default now resolves to bcr on accelerators).
+    kw["direct_schedule"] = "scan"
 
 bm = "/root/reference/Examples/Benchmark models"
 depths = np.arange(5.0, 29.76, 0.25)  # 100 measurement points (bench.py workload)
