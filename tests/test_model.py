@@ -291,6 +291,24 @@ def test_example02_golden_parity_reduced_cpu():
         assert rel.max() < 0.03, (t, rel)
 
 
+def test_auto_solver_defaults_resolve_per_platform():
+    """The "auto" solver knobs resolve once at executor init (CPU -> the
+    direct factorization with the sequential scan schedule; an explicit
+    pass count -> the fixed-point schedule; explicit values untouched)."""
+    from remo3d_tpu.parallel.runtime import Executor, ExecutorConfig
+
+    e = Executor(ExecutorConfig(platform="cpu"))
+    assert (e.config.preconditioner, e.config.precond3d, e.config.direct_schedule) == (
+        "direct", "direct", "scan"
+    )
+    e = Executor(ExecutorConfig(platform="cpu", direct_factor_passes=4))
+    assert e.config.direct_schedule == "fp"
+    e = Executor(
+        ExecutorConfig(platform="cpu", preconditioner="multigrid", direct_schedule="bcr")
+    )
+    assert (e.config.preconditioner, e.config.direct_schedule) == ("multigrid", "bcr")
+
+
 def test_direct_preconditioner_golden_parity_reduced_cpu():
     """preconditioner="direct" (batched block-LDL^T, ops/block_direct.py) vs
     the Example_01 golden at four spot depths on the reduced CPU grid — the
