@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Site hooks may register accelerator PJRT plugins and programmatically set
+# jax.config.jax_platforms, which overrides the env var above — pin the config
+# itself so the suite can never claim an attached accelerator.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
