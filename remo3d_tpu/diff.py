@@ -121,6 +121,7 @@ class DifferentiableLog:
         chunk_size: int = 8,
         factor_passes: int | None = None,
         active_window: float = 0.999,
+        metric3d: str | None = None,
     ):
         if (
             model.formation_model is None
@@ -139,6 +140,13 @@ class DifferentiableLog:
         self.tol = float(tol)
         self.maxiter = int(maxiter)
         self.factor_passes = factor_passes
+        # Follow the production executor's 3D assembly metric by default so
+        # forward parity with Model.simulate_logs holds.
+        if metric3d is None:
+            from .parallel.runtime import ExecutorConfig
+
+            metric3d = ExecutorConfig.metric3d
+        self.metric3d = metric3d
         self.n_tools = len(model.tools)
 
         measurement_depths = np.asarray(measurement_depths, dtype=float)
@@ -372,6 +380,7 @@ class DifferentiableLog:
             u_axis = _solve_chunk_diff_3d(
                 c["coords"], sigma, c["free"], c["src_i"], c["src_fac"],
                 tol=tol, maxiter=maxiter, factor_passes=passes,
+                metric=self.metric3d,
             )
             return readout(c, u_axis)
 
@@ -478,7 +487,8 @@ def _solve_chunk_diff(
 
 
 def _solve_chunk_diff_3d(
-    coords, sigma, free, src_i, src_fac, *, tol, maxiter, factor_passes
+    coords, sigma, free, src_i, src_fac, *, tol, maxiter, factor_passes,
+    metric="cartesian",
 ):
     """One 3D chunk's axis potentials, differentiable wrt ``sigma``.
 
@@ -505,7 +515,7 @@ def _solve_chunk_diff_3d(
     from .ops.stencil3d import pole_project, stencil3d_apply
 
     nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
-    K = element_matrices_3d(coords, sigma)
+    K = element_matrices_3d(coords, sigma, metric=metric)
     C_raw = fold_to_stencil_3d(K, nz, np_, nr)
     C = apply_dirichlet_3d(C_raw, free)
     C_pre = jax.lax.stop_gradient(C)
@@ -519,7 +529,7 @@ def _solve_chunk_diff_3d(
     z_axis = coords[:, :, 0, 0, 2]
     src_z = jnp.take_along_axis(z_axis[:, None, :], src_i, axis=-1)
     u_s = fundamental_potential_3d(coords, sigma0, src_z, src_fac)
-    rhs = singularity_rhs_3d(coords, sigma, sigma0, src_z, src_fac)
+    rhs = singularity_rhs_3d(coords, sigma, sigma0, src_z, src_fac, metric=metric)
     g_lift = jnp.where(freeb, 0.0, -u_s)
     rhs = jnp.where(freeb, rhs - stencil3d_apply(C_raw, g_lift), 0.0)
     rhs = pole_project(rhs)

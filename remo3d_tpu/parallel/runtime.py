@@ -50,8 +50,8 @@ def _feasible_mg_levels(*dims: int, want: int = 4) -> int:
     return levels
 
 
-@jax.jit
-def _assemble3(coords, sigma, free):
+@partial(jax.jit, static_argnames=("metric",))
+def _assemble3(coords, sigma, free, metric="cartesian"):
     """Stage 1: Q1 hex assembly -> raw + Dirichlet-eliminated 27-point stencils."""
     from ..ops.assembly3d import (
         apply_dirichlet_3d,
@@ -60,13 +60,13 @@ def _assemble3(coords, sigma, free):
     )
 
     nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
-    K = element_matrices_3d(coords, sigma)
+    K = element_matrices_3d(coords, sigma, metric=metric)
     C_raw = fold_to_stencil_3d(K, nz, np_, nr)
     return C_raw, apply_dirichlet_3d(C_raw, free)
 
 
-@jax.jit
-def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw):
+@partial(jax.jit, static_argnames=("metric",))
+def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw, metric="cartesian"):
     """Stage 2: singularity-subtracted load + boundary lift + axis offset field.
 
     Returns (rhs, g_lift, u_axis_offset) where ``u_axis_offset`` is the
@@ -80,7 +80,7 @@ def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw):
     z_axis = coords[:, :, 0, 0, 2]  # (B, NZ) physical z on the borehole axis
     src_z = jnp.take_along_axis(z_axis[:, None, :], src_i, axis=-1)  # (B, S, K)
     u_s = fundamental_potential_3d(coords, sigma0, src_z, src_fac)
-    rhs = singularity_rhs_3d(coords, sigma, sigma0, src_z, src_fac)
+    rhs = singularity_rhs_3d(coords, sigma, sigma0, src_z, src_fac, metric=metric)
     g_lift = jnp.where(freeb, 0.0, -u_s)
     rhs = jnp.where(freeb, rhs - stencil3d_apply(C_raw, g_lift), 0.0)
     rhs = pole_project(rhs)
@@ -207,7 +207,7 @@ def _pcg3(
 def _solve_chunk_3d(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
     precond="adi", adi_damp=0.6, use_pallas=False, use_pallas_lines=False,
-    schedule="scan", factor_passes=None,
+    schedule="scan", factor_passes=None, metric="cartesian",
 ):
     """3D chunk solve: hex assembly + singularity subtraction + pole-tied line-CG.
 
@@ -225,10 +225,10 @@ def _solve_chunk_3d(
     (worker.py:104-110) with axis potentials for the readouts (worker.py:124-131).
     """
     nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]
-    C_raw, C = _assemble3(coords, sigma, free)
+    C_raw, C = _assemble3(coords, sigma, free, metric=metric)
     if subtract:
         b, u_axis_offset = _build_rhs3_subtract(
-            coords, sigma, free, src_i, src_fac, C_raw
+            coords, sigma, free, src_i, src_fac, C_raw, metric=metric
         )
     else:
         @jax.jit
@@ -536,6 +536,10 @@ class ExecutorConfig:
     # "direct" (banded-block LDL^T, ops/block_direct3d.py). "auto": CPU ->
     # "direct" (4 CG iterations vs 314), accelerators -> "adi" (validated).
     precond3d: str = "auto"
+    # 3D assembly metric: "cylindrical" treats the hexes as the exact solid of
+    # revolution through the nodes (azimuth carries only interpolation error —
+    # see ops/assembly3d.py); "cartesian" uses the raw chordal-polygon hexes.
+    metric3d: str = "cylindrical"
     # Direct-factorization schedule: "auto" (CPU -> "scan", accelerators ->
     # "bcr"); "scan" = exact sequential block-LDL^T chain (LAPACK-friendly,
     # hostile to TPU — NZ x NR sequential LU column-steps); "bcr" = exact
@@ -911,6 +915,7 @@ class Executor:
                     use_pallas_lines=use_pallas_lines and on_accel,
                     schedule=self.config.direct_schedule,
                     factor_passes=self.config.direct_factor_passes,
+                    metric=self.config.metric3d,
                 )
             if self.config.preconditioner == "direct":
                 return _solve_chunk_direct(
