@@ -74,13 +74,14 @@ def bench_2d():
     elapsed = time.perf_counter() - t0
     n_solves = sum(c["solves"] for c in model._executor.last_report["chunks"])
     n_nan = int(sum(np.isnan(v[:, 1]).sum() for v in model.logs.values()))
+    phases = {k: round(v, 3) for k, v in model._executor.timers.seconds.items()}
     model.shutdown_workers()
-    return elapsed, len(depths) * len(tools), n_solves, n_nan
+    return elapsed, len(depths) * len(tools), n_solves, n_nan, phases
 
 
 def main():
     el3, n3, nan3, phases3 = bench_3d()
-    el2, n2_readouts, n2_solves, nan2 = bench_2d()
+    el2, n2_readouts, n2_solves, nan2, phases2 = bench_2d()
     pts3 = n3 / el3
     print(
         json.dumps(
@@ -97,6 +98,7 @@ def main():
                 "vs_baseline_2d_readouts": round(n2_readouts / el2 / REFERENCE_2D_POINTS_PER_S, 2),
                 "elapsed_2d_s": round(el2, 2),
                 "n_nan_2d": nan2,
+                "phases_2d_s": phases2,
             }
         )
     )

@@ -73,18 +73,21 @@ class GridSpec3D:
 
     @classmethod
     def fast(cls) -> "GridSpec3D":
-        """~2x-faster preset (1.9x fewer nodes): dip->0 consistency vs the 2D
-        solver degrades from ~0.9% (default) to ~1.2%. Pass via
-        ``simulate_logs(grid_spec3d=GridSpec3D.fast())``."""
-        return cls(nz=177, np_=15, nr=45)
+        """~2x-faster preset (2.2x fewer nodes). Under the cylindrical
+        assembly metric (the default, ops/assembly3d.py) azimuth resolution is
+        nearly free at dips <= 45 (np_=9 matches np_=17 at dip->0), so the
+        accuracy cost concentrates at high dip (np_=9: dip 60 max 2.6% vs 1.05%
+        default). Pass via ``simulate_logs(grid_spec3d=GridSpec3D.fast())``."""
+        return cls(nz=177, np_=9, nr=45)
 
     @classmethod
     def accurate(cls) -> "GridSpec3D":
-        """High-accuracy preset: finer azimuth (the dominant 3D discretization
-        axis, measured vs the rotated layered oracle — benchmarks/bm3_oracle.py:
-        max deviation 0.50% / mean 0.21% at dip 30 vs 0.63%/0.27% default).
-        236k nodes exceed the remote compiler's B=8 chunk capacity, so the
-        executor automatically drops to B=2 chunks (slower per point)."""
+        """High-accuracy preset: finer azimuth, which under the cylindrical
+        metric only matters at HIGH dip (rotated-oracle measurement,
+        benchmarks/bm3_oracle.py: dip 60 max 1.05% -> 0.78%; dips <= 45
+        unchanged at <= 0.43%). 236k nodes exceed the remote compiler's B=8
+        chunk capacity, so the executor automatically drops to B=2 chunks
+        (slower per point)."""
         return cls(np_=25)
 
 
