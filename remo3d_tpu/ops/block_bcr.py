@@ -36,6 +36,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .block_direct import highest_matmul_precision
+
 from .block_direct import _dense_line_blocks, _tri_diagonals_z
 
 
@@ -70,6 +72,7 @@ def _mTm(A, B):
     return jnp.einsum("...ji,...jk->...ik", A, B)
 
 
+@highest_matmul_precision
 def bcr_factor(C, store_dtype=jnp.float32):
     """Cyclic-reduction factorization of the block-tridiagonal stencil operator.
 
@@ -82,6 +85,7 @@ def bcr_factor(C, store_dtype=jnp.float32):
     return bcr_factor_dense(D, U, store_dtype=store_dtype)
 
 
+@highest_matmul_precision
 def bcr_factor_dense(D, U, store_dtype=jnp.float32):
     """Generic dense-block cyclic reduction (any block size; 3D reuses this
     for levels >= 1 after a banded level-0 elimination, ops/block_bcr3d.py).
@@ -116,6 +120,7 @@ def bcr_factor_dense(D, U, store_dtype=jnp.float32):
     return tuple(levels), G_root
 
 
+@highest_matmul_precision
 def bcr_apply(factors, b):
     """x = M^{-1} b via the cyclic-reduction factorization (log-depth, exact).
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .block_direct import highest_matmul_precision
+
 from .block_bcr import bcr_apply, bcr_factor_dense
 from .block_direct3d import (
     _PLANE_OFFS,
@@ -77,6 +79,7 @@ def _sym_inv_blocked(S, z_block: int):
     return jnp.moveaxis(Gb.reshape((mp, B) + S.shape[2:]), 0, 1)[:, :m]
 
 
+@highest_matmul_precision
 def bcr_factor_3d(C3, np_: int, nr: int, z_block: int = 8, store_dtype=jnp.float32):
     """Factorize the banded-block-tridiagonal 27-point operator by cyclic
     reduction. C3: (B, NZ, NP, NR, 27) Dirichlet-eliminated stencil.
@@ -125,6 +128,7 @@ def bcr_factor_3d(C3, np_: int, nr: int, z_block: int = 8, store_dtype=jnp.float
     return lvl0, dense_factors
 
 
+@highest_matmul_precision
 def bcr_apply_3d(factors, b, np_: int, nr: int):
     """x = M^{-1} b. b: (B, [S,] NZ, NP, NR); exact inverse at f32 rounding.
 

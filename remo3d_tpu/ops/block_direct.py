@@ -33,8 +33,30 @@ TPU-native replacement for the sparse-CG solve of the reference
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+def highest_matmul_precision(fn):
+    """Trace ``fn`` under float32 matmul precision.
+
+    On TPU the DEFAULT matmul precision multiplies float32 operands in
+    bfloat16 — harmless for the FEM assembly contractions, catastrophic for a
+    direct factorization whose recurrences amplify per-entry error by ~kappa
+    (~1e5 on the production chain; measured: the bf16-precision factorization
+    NaNs every solve on hardware while CPU float32 converges in 4 iterations).
+    The blocks are tiny (NR x NR), so the 6-pass float32 emulation cost is
+    irrelevant next to correctness.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _tri_diagonals_z(C):
@@ -88,6 +110,7 @@ def _dense_line_blocks(C):
     return d_m[..., None] * dn + d_0[..., None] * eye + d_p[..., None] * up
 
 
+@highest_matmul_precision
 def schur_fixedpoint_factor(C, passes=8, store_dtype=jnp.float32):
     """Batched fixed-point approximation of the block-LDL^T Schur inverses.
 
@@ -139,6 +162,7 @@ def schur_fixedpoint_factor(C, passes=8, store_dtype=jnp.float32):
     return jnp.moveaxis(G, 1, 0).astype(store_dtype)  # (NZ, B, NR, NR)
 
 
+@highest_matmul_precision
 def block_thomas_factor(C, store_dtype=jnp.float32):
     """Factorize the block-tridiagonal stencil operator.
 
@@ -174,6 +198,7 @@ def block_thomas_factor(C, store_dtype=jnp.float32):
     return G_all  # (NZ, B, NR, NR) store_dtype
 
 
+@highest_matmul_precision
 def block_thomas_apply(G_all, C, b):
     """x = M^{-1} b with the factorization from :func:`block_thomas_factor`.
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .block_direct import highest_matmul_precision
 import numpy as np
 
 from .stencil3d import entry_index
@@ -114,6 +116,7 @@ def _banded_matvec(coefs_i, v, np_: int, nr: int):
     return out
 
 
+@highest_matmul_precision
 def block_thomas_factor_3d(C3, np_: int, nr: int, store_dtype=jnp.float32):
     """Factorize the banded-block-tridiagonal 27-point operator.
 
@@ -155,6 +158,7 @@ def block_thomas_factor_3d(C3, np_: int, nr: int, store_dtype=jnp.float32):
     return G_all
 
 
+@highest_matmul_precision
 def schur_fixedpoint_factor_3d(
     C3, np_: int, nr: int, passes=6, z_block=16, store_dtype=jnp.float32
 ):
@@ -237,6 +241,7 @@ def schur_fixedpoint_factor_3d(
     return G[:nz].astype(store_dtype)
 
 
+@highest_matmul_precision
 def block_thomas_apply_3d(G_all, C3, b, np_: int, nr: int):
     """x = M^{-1} b. G_all: (NZ, B, NPR, NPR); b: (B, [S,] NZ, NP, NR)."""
     B, nz = C3.shape[0], C3.shape[1]

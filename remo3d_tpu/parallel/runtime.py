@@ -281,13 +281,14 @@ def _factor3_direct(C, *, np_, nr, schedule="scan", passes=None):
     static_argnames=(
         "tol", "maxiter", "preconditioner", "subtract", "factored_lines",
         "use_pallas", "use_pallas_lines", "mg_degree", "mg_power_iters",
-        "mg_line_steps",
+        "mg_line_steps", "mg_smoother",
     ),
 )
 def _solve_chunk(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner,
     subtract=True, factored_lines=False, use_pallas=False,
     use_pallas_lines=False, mg_degree=3, mg_power_iters=12, mg_line_steps=None,
+    mg_smoother="line_rz",
 ):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
 
@@ -338,6 +339,7 @@ def _solve_chunk(
                 degree_post=mg_degree,
                 power_iters=mg_power_iters,
                 line_max_steps=mg_line_steps,
+                smoother=mg_smoother,
             ),
             C_fine=C_fine,
         )
@@ -521,7 +523,12 @@ class ExecutorConfig:
     tol: float = 1e-7
     maxiter: int = 1000
     dtype: str = "float32"
-    chunk_size: int = 48  # batch meshes per device dispatch (multiplied up to devices)
+    # Batch meshes per device dispatch (multiplied up to devices). None = auto:
+    # 96 on accelerators (measured 1.3x faster than 48 on v5e —
+    # screen2d_tpu.py: better latency amortization per dispatched program; 192
+    # gains nothing further), 48 on CPU (the direct factorization's working
+    # set; larger chunks slow the single-core host).
+    chunk_size: int | None = None
     # 3D grids carry ~160k nodes each (vs ~10k in 2D); chunks are bounded
     # separately so one dispatch stays within compile/memory limits.
     chunk_size_3d: int = 8
@@ -565,9 +572,17 @@ class ExecutorConfig:
     # 2D MG smoother tuning (Chebyshev degree of pre/post smoothing; power
     # iterations of the per-batch spectral estimate; PCR line-solve truncation —
     # safe inside the Pallas kernels, CPU-only for the XLA path, see MGConfig).
-    mg_degree: int = 3
-    mg_power_iters: int = 12
+    # Chebyshev degree 2 trades one extra CG iteration (11 -> 12) for a third
+    # less smoother work per V-cycle: net +13% solves/s on v5e, readouts move
+    # 2e-4 (screen2d_tpu.py deg2/pow6 variants). Power iterations 6 is enough
+    # for the smoother's spectral interval at degree 2.
+    mg_degree: int = 2
+    mg_power_iters: int = 6
     mg_line_steps: int | None = None
+    # Inner smoother of the 2D MG Chebyshev sweeps: "line_rz" (additive ADI
+    # lines — fewest CG iterations), "line_r", or "jacobi" (cheapest per
+    # iteration; competitive when per-op dispatch latency dominates).
+    mg_smoother: str = "line_rz"
     platform: str | None = None  # None = JAX default (TPU when present); "cpu" for tests
     # A solve is declared failed (NaN readouts, matching the reference's per-task NaN
     # containment, worker.py:135-138) only above this attained relative residual;
@@ -608,6 +623,8 @@ class Executor:
         auto = {}
         if config.preconditioner == "auto":
             auto["preconditioner"] = "multigrid" if on_accel else "direct"
+        if config.chunk_size is None:
+            auto["chunk_size"] = 96 if on_accel else 48
         if config.precond3d == "auto":
             auto["precond3d"] = "adi" if on_accel else "direct"
         if config.direct_schedule == "auto":
@@ -940,6 +957,7 @@ class Executor:
                 mg_degree=self.config.mg_degree,
                 mg_power_iters=self.config.mg_power_iters,
                 mg_line_steps=self.config.mg_line_steps,
+                mg_smoother=self.config.mg_smoother,
             )
 
         def stage_sources(batch_tasks, batch_grids, B):
