@@ -177,3 +177,64 @@ def test_line_pcg3_solves_and_ties_pole():
         ua = np.asarray(u_axis)[0, 0]
         # Potential decays away from the source along the axis.
         assert ua[i_src] > ua[i_src + 5] > ua[-2] >= 0
+
+
+def test_cylindrical_metric_matches_2d_axisymmetric_assembly():
+    """The cylindrical 3D metric (the production default, ExecutorConfig.metric3d)
+    vs the independently-validated 2D axisymmetric assembly.
+
+    On a grid that is exactly a revolution of a rectilinear meridian grid, with
+    axisymmetric sigma and a phi-independent field u, testing against the
+    phi-independent function v(z, r) (= the phi-sum of the nodal bases at fixed
+    (z, r)) kills every u_phi term EXACTLY, and both quadratures are exact for
+    the remaining separable polynomial integrand (affine meridian map: degree
+    <= 3 per direction under 2-point Gauss). Hence
+
+        sum_phi (A3 u)[z, phi, r]  ==  0.5 * (A2 u)[z, r]
+
+    to float32 roundoff — phi spans [0, pi], half of the 2D weak form's 2*pi*r
+    circle (ngsolve_functions.py:33-36 weak-form parity; the 0.5 is the same
+    half-space convention as the 3D readout factor, worker.py:124-131).
+    """
+    from remo3d_tpu.ops.assembly2d import element_matrices_2d, fold_to_stencil
+    from remo3d_tpu.ops.assembly3d import element_matrices_3d, fold_to_stencil_3d
+    from remo3d_tpu.ops.stencil import stencil_apply
+
+    rng = np.random.default_rng(7)
+    nz, np_, nr = 7, 5, 6
+    z_1d = np.cumsum(np.concatenate([[0.0], rng.uniform(0.2, 0.7, nz - 1)]))
+    r_1d = 0.15 + np.cumsum(np.concatenate([[0.0], rng.uniform(0.1, 0.5, nr - 1)]))
+    phi = np.linspace(0.0, np.pi, np_)
+
+    coords2d = np.zeros((nz, nr, 2), np.float32)
+    coords2d[..., 0] = z_1d[:, None]
+    coords2d[..., 1] = r_1d[None, :]
+
+    coords3d = np.zeros((nz, np_, nr, 3), np.float32)
+    coords3d[..., 0] = r_1d[None, None, :] * np.cos(phi)[None, :, None]
+    coords3d[..., 1] = r_1d[None, None, :] * np.sin(phi)[None, :, None]
+    coords3d[..., 2] = z_1d[:, None, None]
+
+    sigma2d = rng.uniform(0.05, 2.0, (nz - 1, nr - 1)).astype(np.float32)
+    sigma3d = np.broadcast_to(sigma2d[:, None, :], (nz - 1, np_ - 1, nr - 1))
+
+    u2 = rng.standard_normal((nz, nr)).astype(np.float32)
+    u3 = np.broadcast_to(u2[:, None, :], (nz, np_, nr))
+
+    with jax.default_device(cpu):
+        C2 = fold_to_stencil(
+            element_matrices_2d(jnp.asarray(coords2d), jnp.asarray(sigma2d)), nz, nr
+        )
+        y2 = np.asarray(stencil_apply(C2, jnp.asarray(u2)))
+        C3 = fold_to_stencil_3d(
+            element_matrices_3d(
+                jnp.asarray(coords3d), jnp.asarray(sigma3d), metric="cylindrical"
+            ),
+            nz, np_, nr,
+        )
+        y3 = np.asarray(stencil3d_apply(C3, jnp.asarray(u3)))
+
+    scale = np.abs(y2).max()
+    assert np.allclose(y3.sum(axis=1), 0.5 * y2, atol=2e-5 * scale), (
+        np.abs(y3.sum(axis=1) - 0.5 * y2).max() / scale
+    )
