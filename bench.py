@@ -27,6 +27,66 @@ except ImportError:  # pragma: no cover
 
 REFERENCE_3D_POINTS_PER_S = 0.074  # 100 pts / 22.5 min midpoint (README.md:26)
 REFERENCE_2D_POINTS_PER_S = 5.0  # 100 pts / 15-30 s midpoint (README.md:26)
+HBM_BW_V5E = 820e9  # v5e HBM bandwidth (bytes/s) for the roofline context
+
+
+def _solve_traffic_bytes(executor, is_3d):
+    """Estimated HBM bytes moved by the solve phase (roofline context).
+
+    A documented first-order model, not a measurement: counts the DOMINANT
+    array streams per CG iteration — stencil coefficient planes, solution/
+    residual vectors, and the preconditioner's stored operators — for the
+    solver configuration the executor actually resolved. Within ~2x is the
+    goal: the point is to say how far the solve sits from the ~820 GB/s v5e
+    roofline, not to book-keep every byte.
+    """
+    cfg = executor.config
+    rep = executor.last_report
+    B = rep.get("chunk")
+    S = rep.get("n_solve_slots")
+    if not rep["chunks"] or B is None:
+        return None
+    f = 4  # float32
+    if is_3d:
+        nz, np_, nr = cfg.spec3d.nz, cfg.spec3d.np_, cfg.spec3d.nr
+        N = nz * np_ * nr
+        # Pallas half-plane matvec: 14 coefficient planes + in/out vectors.
+        sweep = f * B * (14 * N + 2 * S * N)
+        total = 0
+        for c in rep["chunks"]:
+            it = max(c["iterations"], 0)
+            if cfg.precond3d == "adi":
+                # Per iteration: CG matvec + ADI sweep (4 inner matvecs +
+                # 5 factored-PCR line applies) + ~8 vector passes.
+                lines = sum(
+                    f * B * N * (3 * int(np.ceil(np.log2(n))) + 2 * S)
+                    for n in (nz, np_, nr, np_, nz)
+                )
+                per_iter = 5 * sweep + lines + 8 * f * B * S * N
+                setup = 3 * sweep  # assembly + line factorizations
+            else:  # direct: the banded-block G dominates everything
+                g_bytes = f * B * nz * (np_ * nr) ** 2
+                per_iter = sweep + g_bytes + 8 * f * B * S * N
+                setup = 4 * g_bytes
+            total += setup + it * per_iter
+        return total
+    nz, nr = cfg.spec.nz, cfg.spec.nr
+    N = nz * nr
+    sweep = f * B * (9 * N + 2 * S * N)  # 9-pt stencil + in/out vectors
+    total = 0
+    for c in rep["chunks"]:
+        it = max(c["iterations"], 0)
+        if cfg.preconditioner == "direct":
+            # BCR/LDL^T apply: G level stacks (~NZ NR^2) + off-diagonal
+            # level stacks (~2 NZ NR^2) + log-depth vector passes.
+            op_bytes = f * B * 3 * nz * nr * nr
+            per_iter = sweep + op_bytes + (2 * int(np.ceil(np.log2(nz))) + 8) * f * B * S * N
+            setup = 5 * op_bytes  # factorization passes over the block stacks
+        else:  # multigrid V-cycle: ~(4/3) level sum of ~8 fine sweeps
+            per_iter = sweep + (4.0 / 3.0) * 8 * sweep + 8 * f * B * S * N
+            setup = 6 * sweep  # assembly + Galerkin coarse operators
+        total += setup + it * per_iter
+    return total
 
 
 def bench_3d():
@@ -51,8 +111,9 @@ def bench_3d():
     # evidence that host meshing is negligible (VERDICT r2 #9 — if mesh ever
     # exceeds ~10% of wall-clock, port grid3d to native/ like the 2D builder).
     phases = {k: round(v, 3) for k, v in model._executor.timers.seconds.items()}
+    traffic = _solve_traffic_bytes(model._executor, True)
     model.shutdown_workers()
-    return elapsed, len(depths), int(np.isnan(vals).sum()), phases
+    return elapsed, len(depths), int(np.isnan(vals).sum()), phases, traffic
 
 
 def bench_2d():
@@ -75,14 +136,20 @@ def bench_2d():
     n_solves = sum(c["solves"] for c in model._executor.last_report["chunks"])
     n_nan = int(sum(np.isnan(v[:, 1]).sum() for v in model.logs.values()))
     phases = {k: round(v, 3) for k, v in model._executor.timers.seconds.items()}
+    traffic = _solve_traffic_bytes(model._executor, False)
     model.shutdown_workers()
-    return elapsed, len(depths) * len(tools), n_solves, n_nan, phases
+    return elapsed, len(depths) * len(tools), n_solves, n_nan, phases, traffic
 
 
 def main():
-    el3, n3, nan3, phases3 = bench_3d()
-    el2, n2_readouts, n2_solves, nan2, phases2 = bench_2d()
+    el3, n3, nan3, phases3, traffic3 = bench_3d()
+    el2, n2_readouts, n2_solves, nan2, phases2, traffic2 = bench_2d()
     pts3 = n3 / el3
+    # Roofline context (VERDICT r3 #8): estimated HBM-bandwidth utilization of
+    # the solve phase vs the ~820 GB/s of a v5e chip. Model documented at
+    # _solve_traffic_bytes; treat as order-of-magnitude context, not telemetry.
+    bw3 = traffic3 / phases3["solve"] / HBM_BW_V5E if traffic3 and phases3.get("solve") else None
+    bw2 = traffic2 / phases2["solve"] / HBM_BW_V5E if traffic2 and phases2.get("solve") else None
     print(
         json.dumps(
             {
@@ -99,6 +166,8 @@ def main():
                 "elapsed_2d_s": round(el2, 2),
                 "n_nan_2d": nan2,
                 "phases_2d_s": phases2,
+                "bw_util_3d": round(bw3, 3) if bw3 is not None else None,
+                "bw_util_2d": round(bw2, 3) if bw2 is not None else None,
             }
         )
     )

@@ -141,11 +141,18 @@ class DifferentiableLog:
         self.maxiter = int(maxiter)
         self.factor_passes = factor_passes
         # Follow the production executor's 3D assembly metric by default so
-        # forward parity with Model.simulate_logs holds.
+        # forward parity with Model.simulate_logs holds: prefer the metric the
+        # model's LIVE executor actually resolved (it may carry
+        # executor_overrides={'metric3d': ...}); fall back to the class default
+        # when no executor has run yet.
         if metric3d is None:
-            from .parallel.runtime import ExecutorConfig
+            executor = getattr(model, "_executor", None)
+            if executor is not None:
+                metric3d = executor.config.metric3d
+            else:
+                from .parallel.runtime import ExecutorConfig
 
-            metric3d = ExecutorConfig.metric3d
+                metric3d = ExecutorConfig.metric3d
         self.metric3d = metric3d
         self.n_tools = len(model.tools)
 

@@ -79,6 +79,13 @@ def element_matrices_3d(
     Returns K as an 8x8 nested list of (..., NZ-1, NP-1, NR-1) arrays.
     ``metric``: "cartesian" (chordal hexes) or "cylindrical" (exact solid of
     revolution; see module docstring).
+
+    Precondition for ``metric="cylindrical"``: the azimuth axis (dim -3) must
+    be UNIFORM over [0, pi] — phi is reconstructed from the array index, not
+    from atan2(y, x) (the pole column r=0 makes atan2 ill-defined there).
+    Grids built by :mod:`..meshing.grid3d` satisfy this by construction;
+    full-circle or clustered-azimuth coords would silently get a wrong
+    stiffness matrix (use "cartesian" for those).
     """
     cyl = metric == "cylindrical"
     if cyl:
@@ -237,7 +244,9 @@ def singularity_rhs_3d(
 
     In the cylindrical metric the sources sit ON the revolution axis, so
     ``grad u_s`` is axisymmetric: its e_phi component is identically zero and
-    the integrand reduces to the (e_r, e_z) plane.
+    the integrand reduces to the (e_r, e_z) plane. Same precondition as
+    :func:`element_matrices_3d`: ``metric="cylindrical"`` requires the azimuth
+    axis uniform over [0, pi] (phi is index-reconstructed).
     """
     cyl = metric == "cylindrical"
     nz, np_, nr = coords.shape[-4], coords.shape[-3], coords.shape[-2]

@@ -36,9 +36,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .block_direct import highest_matmul_precision
-
-from .block_direct import _dense_line_blocks, _tri_diagonals_z
+from .block_direct import (
+    _dense_line_blocks,
+    _tri_diagonals_z,
+    highest_matmul_precision,
+)
 
 
 def _dense_U(C):

@@ -815,6 +815,9 @@ class Executor:
         self.last_report = {"chunks": [], "n_failed_solves": 0, "n_nan_readouts": 0}
 
         g0 = grids[0]
+        # Dispatch geometry for downstream traffic/roofline estimates (bench.py).
+        self.last_report["chunk"] = chunk
+        self.last_report["n_solve_slots"] = S
         is_light = isinstance(g0, Grid2DLight)
         grid_shape = (
             g0.grid_shape if is_light else g0.coords.shape[:-1]

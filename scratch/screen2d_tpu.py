@@ -33,6 +33,33 @@ VARIANTS = {
     "jacobi_deg5": {"mg_smoother": "jacobi", "mg_degree": 5},
     "line_r": {"mg_smoother": "line_r"},
     "jacobi_chunk192": {"mg_smoother": "jacobi", "chunk_size": 192},
+    # Round-4 hardware screening: the direct/BCR factorization and on-device
+    # meshing, both previously blocked by the remote compiler/service.
+    "direct_bcr": {"preconditioner": "direct", "direct_schedule": "bcr"},
+    "direct_bcr_c48": {
+        "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 48,
+    },
+    "direct_bcr_c192": {
+        "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 192,
+    },
+    "devmesh": {"device_meshing": True},
+    "direct_bcr_c16": {
+        "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 16,
+    },
+    "direct_bcr_c24": {
+        "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 24,
+    },
+    "direct_bcr_c32": {
+        "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 32,
+    },
+    "direct_bcr_c16_devmesh": {
+        "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 16,
+        "device_meshing": True,
+    },
+    "direct_bcr_devmesh": {
+        "preconditioner": "direct", "direct_schedule": "bcr",
+        "device_meshing": True,
+    },
 }
 
 

@@ -58,6 +58,22 @@ def test_grid3d_geometry():
     assert g.free_mask[1:-1, :, :-1].all()
 
 
+def test_grid3d_azimuth_is_uniform_index_phi():
+    # Precondition of the cylindrical assembly metric (ops/assembly3d.py:
+    # _cylindrical_axes): phi is reconstructed from the array index as a
+    # uniform [0, pi] linspace. Verify off-pole atan2(y, x) agrees for the
+    # grid3d convention, so index-phi == geometric-phi on production grids.
+    g = tiny_grid()
+    c = g.coords
+    np_axis = c.shape[1]
+    phi_idx = np.linspace(0.0, np.pi, np_axis)
+    off_pole = np.hypot(c[..., 0], c[..., 1]) > 1e-9
+    phi_geo = np.arctan2(c[..., 1], c[..., 0])
+    # atan2 returns values in [0, pi] for y >= 0 (the meshed half-space).
+    diff = np.abs(phi_geo - phi_idx[None, :, None])[off_pole]
+    assert diff.max() < 1e-9
+
+
 def test_grid3d_sigma_respects_dip():
     dip = 0.3
     g = tiny_grid(dip)
