@@ -38,6 +38,7 @@ Usage: python benchmarks/bm3_oracle.py [--dips=15,30,45,60] [--cpu]
        [--tools=A2.0M0.5N,A1.0M0.2N] [--np=N] [--radius=R] [-v]
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -121,7 +122,8 @@ def main():
     dips = [15, 30, 45, 60]
     tools = ["A2.0M0.5N", "A1.0M0.2N"]
     platform = None
-    np_override = None
+    overrides = {}
+    preset = None
     domain_radius = DOMAIN_RADIUS
     for arg in sys.argv[1:]:
         if arg.startswith("--dips"):
@@ -129,17 +131,24 @@ def main():
         elif arg.startswith("--tools"):
             tools = arg.split("=")[1].split(",")
         elif arg.startswith("--np"):
-            np_override = int(arg.split("=")[1])
+            overrides["np_"] = int(arg.split("=")[1])
+        elif arg.startswith("--nz"):
+            overrides["nz"] = int(arg.split("=")[1])
+        elif arg.startswith("--nr"):
+            overrides["nr"] = int(arg.split("=")[1])
+        elif arg.startswith("--preset"):
+            preset = arg.split("=")[1]
         elif arg.startswith("--radius"):
             domain_radius = float(arg.split("=")[1])
         elif arg == "--cpu":
             platform = "cpu"
 
     grid_spec3d = None
-    if np_override:
+    if overrides or preset:
         from remo3d_tpu.meshing.grid3d import GridSpec3D
 
-        grid_spec3d = GridSpec3D(np_=np_override)
+        base = getattr(GridSpec3D, preset)() if preset else GridSpec3D()
+        grid_spec3d = dataclasses.replace(base, **overrides)
 
     # Depths span shoulder - bed - shoulder, denser near the boundaries.
     depths = np.round(np.arange(8.0, 17.01, 0.5), 4)

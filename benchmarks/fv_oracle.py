@@ -138,11 +138,22 @@ def _fv_matrix(sig, z, r):
     return sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
 
 
-def fv_solve_axis(z_src, sigma_of_cells, z, r, subtract_sigma0=None):
+def fv_solve_axis(z_src, sigma_of_cells, z, r, subtract_sigma0=None, disc_radius=None):
     """Unit point source at (z_src, r=0); returns u on the axis nodes (float64).
 
     sigma_of_cells(zc, rc) -> (NZ-1, NR-1) cell conductivities, evaluated at the
     cell centers of the tensor grid (z, r).
+
+    ``disc_radius``: by default the homogeneous-Dirichlet truncation boundary is
+    the grid box (|z - z_src| = R_dom, r = r_max). The FEM path and the
+    reference both truncate on a DISC of radius ``domain_radius`` centered on
+    the source (gmsh_functions.py:581, netgen_functions.py circle arc), whose
+    truncation error is LARGER (the box contains the disc). Passing a radius
+    additionally pins every node with sqrt((z-z_src)^2 + r^2) >= disc_radius,
+    turning the boundary into a staircase approximation of that disc — the
+    geometry error is O(local grid spacing) at distance ~R from the receivers,
+    far below truncation-delta scales. Used by scratch/ex02_attrib.py to
+    reproduce the Example_02 domain_radius=25 truncation.
 
     With ``subtract_sigma0`` the full-space fundamental field
     u_s = 1/(4*pi*sigma0*d) of the uniform medium sigma0 (the mud, which
@@ -168,6 +179,9 @@ def fv_solve_axis(z_src, sigma_of_cells, z, r, subtract_sigma0=None):
     mask = np.zeros((NZ, NR), dtype=bool)
     mask[0, :] = mask[-1, :] = True
     mask[:, -1] = True
+    if disc_radius is not None:
+        dist = np.sqrt((z[:, None] - z_src) ** 2 + r[None, :] ** 2)
+        mask |= dist >= float(disc_radius)
     mask = mask.ravel()
     keep = ~mask
 
@@ -207,6 +221,8 @@ def fv_apparent_resistivity(
     n_r_out=220,
     h_min=0.004,
     subtract=False,
+    disc_domain=False,
+    rw_profile=None,
 ):
     """Apparent resistivity of ``tool_name`` at measurement depth ``z_meas``.
 
@@ -214,6 +230,16 @@ def fv_apparent_resistivity(
     (NaN FZ entries = no invasion zone). Single-current tools only (two-current
     tools are first rewritten via reciprocity, exactly like the package's SEC
     mode, remo3d.py:211-214).
+
+    ``rw_profile``: optional (N, 2) [DEPT, radius_m] polyline for a
+    depth-VARYING borehole wall (the caliper logs of Example_01's Borehole.txt
+    and the reference's caliper-following gmsh walls, gmsh_functions.py:33-88).
+    The wall becomes a staircase on the radial stations; the grid adds dense
+    stations across the caliper band [min rw, max rw] so the staircase step is
+    a fraction of the caliper variation itself. ``rw`` still sets the nominal
+    wall used for grid grading; ``rho_mud`` must describe the mud at every
+    depth (the analytic subtraction needs sigma == sigma_mud in the cells
+    adjacent to the source).
     """
     tp = parse_tool(tool_name, force_single_electrode_configuration=True)
     if not tp.is_single_current:
@@ -231,6 +257,13 @@ def fv_apparent_resistivity(
     z = _build_z_grid(z_src, receivers, bounds, domain_radius, n_base, h_min)
     inv = fz_radius[np.isfinite(fz_radius)]
     r = _build_r_grid(rw, np.unique(inv), domain_radius, 9, n_r_out)
+    if rw_profile is not None:
+        rw_profile = np.asarray(rw_profile, dtype=float)
+        # Staircase-wall convergence is second-order in the band spacing
+        # (measured at BM2-dip z=20: 17/33/65 stations -> 13.2122/13.1854/
+        # 13.1789, Richardson limit 13.177); 65 stations leave ~0.01%.
+        band = np.linspace(rw_profile[:, 1].min(), rw_profile[:, 1].max(), 65)
+        r = np.unique(np.concatenate([r, band]))
 
     def sigma_of_cells(zc, rc):
         li = np.clip(np.searchsorted(bounds, zc), 0, rho_uz.size - 1)
@@ -239,12 +272,17 @@ def fv_apparent_resistivity(
         has_fz = np.isfinite(fz_radius[li]) & np.isfinite(rho_fz[li])
         in_fz = has_fz[:, None] & (rc[None, :] < np.where(has_fz, fz_radius[li], 0.0)[:, None])
         sig = np.where(in_fz, (1.0 / np.where(has_fz, rho_fz[li], 1.0))[:, None], sig)
-        sig[:, rc < rw] = 1.0 / rho_mud
+        if rw_profile is None:
+            sig[:, rc < rw] = 1.0 / rho_mud
+        else:
+            rw_z = np.interp(zc, rw_profile[:, 0], rw_profile[:, 1])
+            sig = np.where(rc[None, :] < rw_z[:, None], 1.0 / rho_mud, sig)
         return sig
 
     u_axis = fv_solve_axis(
         z_src, sigma_of_cells, z, r,
         subtract_sigma0=(1.0 / rho_mud) if subtract else None,
+        disc_radius=domain_radius if disc_domain else None,
     )
     u_rec = [u_axis[int(np.where(z == zr)[0][0])] for zr in receivers]
     du = u_rec[0] - u_rec[1] if len(u_rec) == 2 else u_rec[0]

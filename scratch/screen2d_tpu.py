@@ -60,6 +60,11 @@ VARIANTS = {
         "preconditioner": "direct", "direct_schedule": "bcr",
         "device_meshing": True,
     },
+    # VMEM single-pass line kernels in the MG smoother (~10x less smoother
+    # HBM traffic than the XLA PCR stages) — the main remaining 2D lever.
+    "pallas_lines": {"use_pallas_lines": True},
+    "pallas_lines_devmesh": {"use_pallas_lines": True, "device_meshing": True},
+    "pallas_lines_c192": {"use_pallas_lines": True, "chunk_size": 192},
 }
 
 

@@ -1,0 +1,74 @@
+# -*- coding: utf-8 -*-
+"""TPU screening of 3D solver config variants on the bench_3d workload.
+
+Same protocol as screen2d_tpu.py: warm-up (compile) + timed run per variant,
+points/s + CG iterations + worst residual, cross-checked against the base
+variant.
+
+Usage: python scratch/screen3d_tpu.py [variant ...]   (default: all)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from remo3d_tpu import Model
+
+BM = "/root/reference/Examples/Benchmark models/Benchmark model 3"
+TOOL = "A2.0M0.5N"
+DEPTHS = np.arange(5.0, 29.76, 0.25)  # the bench_3d 100-point workload
+
+VARIANTS = {
+    "base": {},
+    # Single-pass VMEM PCR line kernels in the ADI preconditioner
+    # (ops/pallas_lines3d.py) — committed round 2 "off by default until
+    # TPU-validated" (c664ec3); this is the validation.
+    "pallas_lines": {"use_pallas_lines": True},
+    "chunk12": {"chunk_size_3d": 12},
+    "pallas_lines_chunk12": {"use_pallas_lines": True, "chunk_size_3d": 12},
+}
+
+
+def run(name, overrides):
+    model = Model([TOOL])
+    model.set_model_parameters(
+        os.path.join(BM, "Formation_BM3_30.txt"),
+        os.path.join(BM, "Borehole_BM3.txt"),
+        dip=30,
+    )
+    model.initialize_workers(cpu_workers=4)
+    kw = dict(executor_overrides=overrides) if overrides else {}
+    model.simulate_logs(DEPTHS, verbose=False, **kw)  # warm-up (compile)
+    t0 = time.perf_counter()
+    model.simulate_logs(DEPTHS, verbose=False, **kw)
+    el = time.perf_counter() - t0
+    rep = model._executor.last_report
+    iters = [c["iterations"] for c in rep["chunks"]]
+    worst = max(c["worst_residual"] for c in rep["chunks"])
+    vals = np.array(model.logs[TOOL])[:, 1]
+    model.shutdown_workers()
+    print(
+        f"[{name:22s}] {len(DEPTHS)/el:5.1f} pts/s  elapsed {el:5.2f}s  "
+        f"iters {iters}  worst_res {worst:.2e}  nan {int(np.isnan(vals).sum())}",
+        flush=True,
+    )
+    return vals
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    ref = None
+    for name in names:
+        vals = run(name, VARIANTS[name])
+        if ref is None:
+            ref = vals
+        else:
+            rel = float(np.nanmax(np.abs(vals - ref) / np.abs(ref)))
+            print(f"    vs base: max rel diff {rel:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
