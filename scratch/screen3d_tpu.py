@@ -21,6 +21,8 @@ BM = "/root/reference/Examples/Benchmark models/Benchmark model 3"
 TOOL = "A2.0M0.5N"
 DEPTHS = np.arange(5.0, 29.76, 0.25)  # the bench_3d 100-point workload
 
+from remo3d_tpu.meshing.grid3d import GridSpec3D
+
 VARIANTS = {
     "base": {},
     # Single-pass VMEM PCR line kernels in the ADI preconditioner
@@ -29,6 +31,12 @@ VARIANTS = {
     "pallas_lines": {"use_pallas_lines": True},
     "chunk12": {"chunk_size_3d": 12},
     "pallas_lines_chunk12": {"use_pallas_lines": True, "chunk_size_3d": 12},
+    # Refined-meridian grids (VERDICT r3 #7): the dip->0 study's 257x65 point
+    # closes the default-grid gap 1.01% -> 0.51%; this measures its pts/s cost
+    # on the flagship workload so the preset ships with a recorded price.
+    "grid257x65": {"spec3d": GridSpec3D(nz=257, nr=65)},
+    "grid257x65_np25": {"spec3d": GridSpec3D(nz=257, np_=25, nr=65)},
+    "grid321x81": {"spec3d": GridSpec3D(nz=321, nr=81)},
 }
 
 
