@@ -97,6 +97,28 @@ def _kernel(nz, np_, nr, n_lane, offsets, with_diag, c_ref, u_ref, o_ref):
     o_ref[0, 0] = y
 
 
+def padded_lanes(np_: int, nr: int, lanes: int = 128) -> int:
+    """Lane extent of the kernel's flattened (NP, NR) axis (see apply below)."""
+    npr = np_ * nr
+    n_lane = -(-npr // lanes) * lanes
+    if n_lane - npr < nr + 1:  # circular lane rolls need >= nr+1 zero lanes
+        n_lane += lanes
+    return n_lane
+
+
+def fits_tpu_vmem(nz: int, np_: int, nr: int) -> bool:
+    """Whether the half-plane kernel's working set fits v5e VMEM.
+
+    Measured cliff (round 4, scratch/screen3d_tpu.py + /tmp remote-compile
+    logs): the remote compiler accepts nz*n_lane = 247k floats per plane
+    (GridSpec3D.accurate(), 193x25x49 -> lanes 1280) and crashes
+    (tpu_compile_helper HTTP 500) at 329k (257x17x65). The executor's auto
+    mode (parallel/runtime.py dispatch) uses this to fall back to the XLA
+    27-plane apply — which compiles at any size — for refined grids.
+    """
+    return nz * padded_lanes(np_, nr) <= 280_000
+
+
 @partial(jax.jit, static_argnames=("n_solves",))
 def stencil3d_apply_pallas(C_half, u, *, n_solves: int):
     """y = A u with half-plane stencil storage.
@@ -110,10 +132,7 @@ def stencil3d_apply_pallas(C_half, u, *, n_solves: int):
     assert S == n_solves
     nz, np_, nr = u.shape[-3], u.shape[-2], u.shape[-1]
     npr = np_ * nr
-    lanes = 128
-    n_lane = ((npr + lanes - 1) // lanes) * lanes
-    if n_lane - npr < nr + 1:  # circular lane rolls need >= nr+1 zero lanes
-        n_lane += lanes
+    n_lane = padded_lanes(np_, nr)
     pad = n_lane - npr
 
     uf = u.reshape(B, S, nz, npr)

@@ -536,8 +536,15 @@ class ExecutorConfig:
     # block-LDL^T, ops/block_direct.py). "auto" resolves per platform at
     # executor init: CPU -> "direct" (measured 31x faster end-to-end: 4 CG
     # iterations vs 11, and the factorization replaces the MG setup);
-    # accelerators -> "multigrid" (the TPU-validated round-2 path) until the
-    # direct/bcr schedule is validated on real TPU hardware.
+    # accelerators -> "multigrid". Round-4 v5e screening settled the open
+    # question (scratch/screen2d_tpu.py): the direct/BCR factorization DOES
+    # compile on TPU but only at chunk <= 16 — the remote compiler's
+    # tpu_compile_helper crashes (HTTP 500) at chunk 24/32 on the dense
+    # line-block factor storage — and its envelope tops out at 32.7 solves/s
+    # vs multigrid's 57.9 at chunk 96. The CPU-optimal schedule loses on TPU
+    # because the factor's O(NZ*NR*bw^2) HBM traffic per apply exceeds the
+    # V-cycle's, so multigrid stays the accelerator default by measurement,
+    # not caution.
     preconditioner: str = "auto"
     # 3D: "auto", "adi" (damped z-p-r-p-z sweep), "lines" (additive), or
     # "direct" (banded-block LDL^T, ops/block_direct3d.py). "auto": CPU ->
@@ -595,9 +602,10 @@ class ExecutorConfig:
     # ~7 KB staged per batch instead of ~3 MB of coords/sigma arrays — the
     # host<->device link stops being the 2D bottleneck once solves are fast.
     # None = auto: on for accelerator platforms (dip == 0 only), off on CPU.
-    # Shipped default False until the path is validated on real TPU hardware
-    # (the remote service was down throughout its development).
-    device_meshing: bool | None = False
+    # Validated on v5e in round 4 (scratch/screen2d_tpu.py): 64.9 vs 52.6
+    # solves/s (+23%) on the Example_01 workload with readouts matching the
+    # host-meshed path to 2.25e-4 — so auto is now the shipped default.
+    device_meshing: bool | None = None
     # Observability/durability (SURVEY §5 aux subsystems):
     profile_dir: str | None = None  # jax.profiler trace of the solve phase
     checkpoint: str | None = None  # .npz path: per-chunk results, resume on rerun
@@ -921,6 +929,14 @@ class Executor:
                 # OOM); the single-device case is where the kernel's 7x
                 # win was measured. Explicit True still forces it on.
                 use_pallas = on_accel and n_dev == 1
+                if use_pallas and is_3d:
+                    # Refined 3D grids overflow the kernel's VMEM tiling and
+                    # crash the remote compiler; fall back to the XLA apply
+                    # (measured cliff documented at fits_tpu_vmem).
+                    from ..ops.pallas_stencil import fits_tpu_vmem
+
+                    nz3, np3, nr3 = g0.coords.shape[:-1]
+                    use_pallas = fits_tpu_vmem(nz3, np3, nr3)
             use_pallas_lines = self.config.use_pallas_lines
             if use_pallas_lines is None:
                 use_pallas_lines = use_pallas

@@ -37,7 +37,18 @@ VARIANTS = {
     "grid257x65": {"spec3d": GridSpec3D(nz=257, nr=65)},
     "grid257x65_np25": {"spec3d": GridSpec3D(nz=257, np_=25, nr=65)},
     "grid321x81": {"spec3d": GridSpec3D(nz=321, nr=81)},
+    # Diagnosis: the 284k-node grid fails the remote compile even at B=2;
+    # is the Pallas half-plane stencil (VMEM-bound) or the XLA program at
+    # fault? Plus intermediate sizes bracketing the capacity cliff.
+    "grid257x65_nopallas": {
+        "spec3d": GridSpec3D(nz=257, nr=65), "use_pallas_stencil": False,
+    },
+    "grid257x49": {"spec3d": GridSpec3D(nz=257, nr=49)},
+    "grid225x57": {"spec3d": GridSpec3D(nz=225, nr=57)},
 }
+
+if os.environ.get("SCREEN3D_QUICK"):
+    DEPTHS = np.arange(11.0, 14.76, 0.5)  # 8 points - single chunk, fast iteration
 
 
 def run(name, overrides):

@@ -290,3 +290,18 @@ def test_pallas_pcr_partial_row_tile():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
         )
+
+
+def test_stencil3d_vmem_guard():
+    """The auto-mode VMEM guard admits the shipped presets and rejects the
+    refined grids that crash the remote TPU compiler (measured cliff,
+    scratch/screen3d_tpu.py round 4)."""
+    from remo3d_tpu.ops.pallas_stencil import fits_tpu_vmem, padded_lanes
+
+    assert padded_lanes(17, 49) == 896  # default grid: 833 -> 896 (pad 63 >= 50)
+    assert padded_lanes(25, 49) == 1280  # accurate(): 1225 -> 1280 (pad 55 >= 50)
+    assert padded_lanes(17, 65) == 1280  # 1105 -> 1152 pad 47 < 66 -> +128
+    assert fits_tpu_vmem(193, 17, 49)  # default: compiles with the kernel
+    assert fits_tpu_vmem(193, 25, 49)  # accurate(): compiles (247k)
+    assert not fits_tpu_vmem(257, 17, 65)  # crashes the remote compiler (329k)
+    assert not fits_tpu_vmem(321, 17, 81)
