@@ -90,6 +90,23 @@ class GridSpec3D:
         (slower per point)."""
         return cls(np_=25)
 
+    @classmethod
+    def high_dip(cls) -> "GridSpec3D":
+        """Steep-dip preset: refined meridian AND azimuth. The dip->0 study
+        proved the meridian (nz, nr) is the binding resolution axis
+        (193x49 -> 1.01% gap, 257x65 -> 0.51%, scratch/dip0_gap.py) while at
+        dip 60 azimuth still pays (np_=17 -> 1.05%, np_=25 -> 0.78% on the
+        default meridian); combining both, the rotated layered-medium oracle
+        (benchmarks/bm3_oracle.py --nz=257 --nr=65 --np=25) measures dip 60 at
+        **max 0.50% / mean 0.23%** vs 1.05% on the default grid — the level the
+        reference reaches with order-3 unstructured FEM
+        (/root/reference/remo3d/ngsolve_functions.py:27). ~6x the solve cost of
+        the default grid (TPU v5e: 2.7 pts/s at np_=17 vs 16 pts/s default,
+        scratch/screen3d_tpu.py). Selected AUTOMATICALLY by
+        ``Model.simulate_logs`` when dip >= 50 deg and no explicit
+        ``grid_spec3d`` is given."""
+        return cls(nz=257, np_=25, nr=65)
+
 
 @dataclasses.dataclass
 class Grid3D:

@@ -21,6 +21,7 @@ import numpy as np
 
 from . import io as mio
 from .meshing.grid2d import GridSpec2D
+from .meshing.grid3d import GridSpec3D
 from .parallel.runtime import Executor, ExecutorConfig
 from .planner import plan_tasks
 from .plotting import save_results_impl
@@ -40,6 +41,27 @@ _GRID_PRESETS = {
     "netgen": GridSpec2D(),
     "gmsh": GridSpec2D(),
 }
+
+# Dip angle (degrees) at or above which the default 3D grid switches to the
+# refined GridSpec3D.high_dip() preset. The rotated-oracle dip ladder puts the
+# default grid at 0.43% max for dips <= 45 but 1.05% at 60 — the bilinear
+# facets sag off steep layer planes — while high_dip() measures 0.50% at 60
+# (benchmarks/bm3_oracle.py --nz=257 --nr=65 --np=25) at ~6x solve cost.
+HIGH_DIP_THRESHOLD_DEG = 50.0
+
+
+def _resolve_spec3d(dip_deg, grid_spec3d, executor_overrides):
+    """Dip-aware 3D grid default: an explicit ``grid_spec3d`` (or an
+    ``executor_overrides['spec3d']``, which replaces the config downstream)
+    always wins; otherwise steep dips auto-select ``GridSpec3D.high_dip()``.
+    Returns None when the ExecutorConfig default should stand."""
+    if grid_spec3d is not None:
+        return grid_spec3d
+    if executor_overrides and "spec3d" in executor_overrides:
+        return None
+    if dip_deg >= HIGH_DIP_THRESHOLD_DEG:
+        return GridSpec3D.high_dip()
+    return None
 
 
 class Model:
@@ -227,7 +249,9 @@ class Model:
         tolerance; None = automatic, 3e-7 for 2D and 1e-5 for the
         singularity-subtracted 3D solve), ``dtype``, ``grid_spec`` /
         ``grid_spec3d`` (grid topology override; ``GridSpec3D.fast()`` for a
-        ~2x-faster 3D preset), ``profile_dir`` (write a jax.profiler trace of
+        ~2x-faster 3D preset; when omitted, dips >= 50 deg auto-select
+        ``GridSpec3D.high_dip()`` — see ``_resolve_spec3d``),
+        ``profile_dir`` (write a jax.profiler trace of
         the solve phase) and ``checkpoint`` (an .npz path: per-chunk results are
         persisted and an interrupted run resumes) and ``executor_overrides`` (a
         dict of :class:`~remo3d_tpu.parallel.runtime.ExecutorConfig` field
@@ -283,6 +307,7 @@ class Model:
         )
 
         spec = grid_spec or _GRID_PRESETS.get(mesh_generator, GridSpec2D())
+        grid_spec3d = _resolve_spec3d(self.dip_deg, grid_spec3d, executor_overrides)
         config_kwargs = {}
         if grid_spec3d is not None:
             config_kwargs["spec3d"] = grid_spec3d

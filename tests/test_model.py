@@ -390,3 +390,20 @@ def test_device_meshing_matches_host_meshing():
         rel = np.abs(dev[t] / host[t] - 1)
         assert np.isfinite(dev[t]).all()
         assert rel.max() < 5e-4, (t, rel)
+
+
+def test_dip_aware_grid3d_default():
+    """Dips >= 50 deg auto-select the refined high_dip() grid (the default
+    grid's bilinear facets sag off steep layer planes: rotated-oracle dip 60
+    max 1.05% default vs 0.50% high_dip, benchmarks/bm3_oracle.py); explicit
+    grid_spec3d or an executor_overrides spec3d always wins; shallow dips and
+    2D keep the ExecutorConfig default."""
+    from remo3d_tpu.model import _resolve_spec3d
+
+    assert _resolve_spec3d(0.0, None, None) is None
+    assert _resolve_spec3d(45.0, None, None) is None
+    assert _resolve_spec3d(60.0, None, None) == GridSpec3D.high_dip()
+    assert _resolve_spec3d(50.0, None, None) == GridSpec3D.high_dip()
+    explicit = GridSpec3D(nz=97, np_=9, nr=33)
+    assert _resolve_spec3d(60.0, explicit, None) is explicit
+    assert _resolve_spec3d(60.0, None, {"spec3d": explicit}) is None
