@@ -148,15 +148,21 @@ def _pcg3(
 
     if use_pallas:
         # Symmetric half-plane Pallas stencil: ~half the coefficient traffic
-        # (see ops/pallas_stencil.py).
-        from ..ops.pallas_stencil import half_planes, stencil3d_apply_pallas
+        # (see ops/pallas_stencil.py). Slab staging is loop-invariant — it
+        # runs once here, outside the CG while_loop.
+        from ..ops.pallas_stencil import (
+            half_planes,
+            stage_half_plane_slabs,
+            stencil3d_apply_pallas,
+        )
 
-        C_half = half_planes(C)
+        np3, nr3 = b.shape[-2], b.shape[-1]
+        C_slabs = stage_half_plane_slabs(half_planes(C), np_=np3, nr=nr3)
         n_solves = b.shape[-4]
 
         def matvec(p):
             return pole_project(
-                stencil3d_apply_pallas(C_half, pole_project(p), n_solves=n_solves)
+                stencil3d_apply_pallas(C_slabs, pole_project(p), n_solves=n_solves)
             )
     else:
         def matvec(p):
@@ -772,10 +778,19 @@ class Executor:
         n_batch_axis = n_dev // n_solve_axis
 
         base_chunk = self.config.chunk_size_3d if is_3d else self.config.chunk_size
-        if is_3d and int(np.prod(grids[0].coords.shape[:-1])) > 180_000:
-            # High-resolution 3D grids: the remote TPU compiler rejects the
-            # default B=8 chunk programs above ~180k nodes (HTTP 500 from
-            # tpu_compile_helper); small even chunks compile and run fine.
+        if (
+            is_3d
+            and int(np.prod(grids[0].coords.shape[:-1])) > 180_000
+            and self.config.chunk_size_3d == type(self.config).chunk_size_3d
+        ):
+            # High-resolution 3D grids: the round-4 remote compiler rejected
+            # the default B=8 chunk programs above ~180k nodes (HTTP 500).
+            # With the z-tiled Pallas operator (round 5) B=4 compiles and runs
+            # — but measures SLOWER than B=2 (4.8 vs 5.4 pts/s on the
+            # high_dip workload, scratch/screen3d_tpu.py highdip_chunk4):
+            # lock-step CG makes every batch in the chunk pay the worst
+            # batch's iteration count. B=2 stays the measured knee; an
+            # EXPLICIT chunk_size_3d bypasses the cap (expert hatch).
             base_chunk = min(base_chunk, 2)
         if is_3d and self.config.precond3d == "direct":
             # The banded-block factorization stores G (NZ, B, NPR, NPR) float32
@@ -928,18 +943,18 @@ class Executor:
                 # its operands (defeating the batch sharding and risking
                 # OOM); the single-device case is where the kernel's 7x
                 # win was measured. Explicit True still forces it on.
+                # No 3D grid-size guard anymore: the z-tiled kernel
+                # (ops/pallas_stencil.py, round 5) slabs the axial axis so
+                # refined grids fit VMEM instead of hitting round 4's 280k
+                # remote-compiler cliff.
                 use_pallas = on_accel and n_dev == 1
-                if use_pallas and is_3d:
-                    # Refined 3D grids overflow the kernel's VMEM tiling and
-                    # crash the remote compiler; fall back to the XLA apply
-                    # (measured cliff documented at fits_tpu_vmem).
-                    from ..ops.pallas_stencil import fits_tpu_vmem
-
-                    nz3, np3, nr3 = g0.coords.shape[:-1]
-                    use_pallas = fits_tpu_vmem(nz3, np3, nr3)
             use_pallas_lines = self.config.use_pallas_lines
             if use_pallas_lines is None:
                 use_pallas_lines = use_pallas
+            # Recorded for bench.py's traffic model (the PCR smoother stream
+            # count depends on which line-apply path actually ran).
+            self.last_report["use_pallas_lines"] = bool(use_pallas_lines and on_accel)
+            self.last_report["use_pallas_stencil"] = bool(use_pallas)
             if is_3d:
                 return _solve_chunk_3d(
                     *args,

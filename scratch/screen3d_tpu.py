@@ -43,6 +43,15 @@ VARIANTS = {
     "grid257x65_nopallas": {
         "spec3d": GridSpec3D(nz=257, nr=65), "use_pallas_stencil": False,
     },
+    # Round 5: the z-tiled Pallas stencil removed the VMEM cliff; find the
+    # chunk-size knee for the auto-selected high_dip grid.
+    "highdip_chunk2": {"spec3d": GridSpec3D.high_dip(), "chunk_size_3d": 2},
+    "highdip_chunk4": {"spec3d": GridSpec3D.high_dip(), "chunk_size_3d": 4},
+    "highdip_chunk8": {"spec3d": GridSpec3D.high_dip(), "chunk_size_3d": 8},
+    "highdip_nopallas4": {
+        "spec3d": GridSpec3D.high_dip(), "chunk_size_3d": 4,
+        "use_pallas_stencil": False,
+    },
     "grid257x49": {"spec3d": GridSpec3D(nz=257, nr=49)},
     "grid225x57": {"spec3d": GridSpec3D(nz=225, nr=57)},
 }

@@ -138,9 +138,23 @@ def test_pallas_stencil3d_matches_xla_apply():
         with mock.patch.object(
             pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
         ):
-            out = pallas_stencil.stencil3d_apply_pallas(C_half, u, n_solves=S)
+            # Auto slab choice (ZB=1 at this size) AND a forced 2-row chunk
+            # (ZB=3) so the halo'd z-tiling path is exercised even though the
+            # test grid is far below the VMEM budget.
+            slabs_auto = pallas_stencil.stage_half_plane_slabs(C_half, np_=NP, nr=NR)
+            out = pallas_stencil.stencil3d_apply_pallas(slabs_auto, u, n_solves=S)
+            slabs_tiled = pallas_stencil.stage_half_plane_slabs(
+                C_half, np_=NP, nr=NR, nz_chunk=2
+            )
+            assert slabs_tiled.shape[1] == 3  # ZB
+            out_tiled = pallas_stencil.stencil3d_apply_pallas(
+                slabs_tiled, u, n_solves=S
+            )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_tiled), np.asarray(ref), rtol=2e-5, atol=1e-5
         )
 
 
@@ -292,16 +306,31 @@ def test_pallas_pcr_partial_row_tile():
         )
 
 
-def test_stencil3d_vmem_guard():
-    """The auto-mode VMEM guard admits the shipped presets and rejects the
-    refined grids that crash the remote TPU compiler (measured cliff,
-    scratch/screen3d_tpu.py round 4)."""
-    from remo3d_tpu.ops.pallas_stencil import fits_tpu_vmem, padded_lanes
+def test_stencil3d_slab_chunking():
+    """The z-slab chooser keeps every slab under the measured VMEM budget and
+    tiles the refined grids that crashed round 4's un-tiled kernel (280k
+    remote-compiler cliff) instead of rejecting them."""
+    from remo3d_tpu.ops.pallas_stencil import (
+        SLAB_BUDGET_FLOATS,
+        choose_nz_chunk,
+        padded_lanes,
+    )
 
     assert padded_lanes(17, 49) == 896  # default grid: 833 -> 896 (pad 63 >= 50)
     assert padded_lanes(25, 49) == 1280  # accurate(): 1225 -> 1280 (pad 55 >= 50)
     assert padded_lanes(17, 65) == 1280  # 1105 -> 1152 pad 47 < 66 -> +128
-    assert fits_tpu_vmem(193, 17, 49)  # default: compiles with the kernel
-    assert fits_tpu_vmem(193, 25, 49)  # accurate(): compiles (247k)
-    assert not fits_tpu_vmem(257, 17, 65)  # crashes the remote compiler (329k)
-    assert not fits_tpu_vmem(321, 17, 81)
+    # The default grid stays single-slab (no tiling overhead); accurate()
+    # (193x25x49 = 247k floats/plane) tiles into 2 slabs under the measured
+    # 200k budget — at 247k the pipelined (B=2, S=8) program's scoped-VMEM
+    # stack overflowed 16M (17.58M, scratch/repro_stencil3d_tiled.py).
+    assert choose_nz_chunk(193, 17, 49) == (193, 1)
+    nzc_acc, zb_acc = choose_nz_chunk(193, 25, 49)
+    assert zb_acc == 2 and (nzc_acc + 2) * padded_lanes(25, 49) <= SLAB_BUDGET_FLOATS
+    # Grids past the round-4 cliff now tile; every slab fits the budget and
+    # the slabs cover the grid with a few percent of padding at most.
+    for nz, np_, nr in [(257, 17, 65), (257, 25, 65), (321, 17, 81)]:
+        nzc, zb = choose_nz_chunk(nz, np_, nr)
+        assert zb > 1
+        assert (nzc + 2) * padded_lanes(np_, nr) <= SLAB_BUDGET_FLOATS
+        assert zb * nzc >= nz
+        assert zb * nzc <= nz + nzc  # bounded padding waste
