@@ -49,19 +49,76 @@ _GRID_PRESETS = {
 # (benchmarks/bm3_oracle.py --nz=257 --nr=65 --np=25) at ~6x solve cost.
 HIGH_DIP_THRESHOLD_DEG = 50.0
 
+# Minimum radial cells across the thinnest kept invasion annulus before the
+# 3D auto-select refines the radial grading (the reference grades unstructured
+# tets around its invasion half-cylinders instead, gmsh_functions.py:625-643).
+# Measured on the BM2+sinusoidal-caliper oracle (scratch/screen_bm2_thin.py):
+# the default grid leaves the 0.2 m-radius annulus (~0.09 m thick over the
+# wall) at ~2.4 cells / 2.35% vs the FV-anchored 2D solver.
+THIN_ANNULUS_MIN_CELLS = 4.0
 
-def _resolve_spec3d(dip_deg, grid_spec3d, executor_overrides):
-    """Dip-aware 3D grid default: an explicit ``grid_spec3d`` (or an
-    ``executor_overrides['spec3d']``, which replaces the config downstream)
-    always wins; otherwise steep dips auto-select ``GridSpec3D.high_dip()``.
-    Returns None when the ExecutorConfig default should stand."""
+
+def _thin_annulus_refine(spec, formation, borehole):
+    """Refine the radial grading when an invasion annulus is under-resolved.
+
+    Returns (spec, notice_or_None). The thinnest annulus is measured
+    conservatively against the maximum caliper radius; if it spans fewer than
+    ``THIN_ANNULUS_MIN_CELLS`` cells of ``spec.h_min_radial``, the spec gets
+    ``nr >= 65``, ``h_min_radial <= thickness/THIN_ANNULUS_MIN_CELLS`` and a
+    tightened radial slope (mirrors the 2D anchor's 0.008/0.12 grading that
+    the production 2D-vs-FV 0.21% rests on).
+    """
+    spec = spec or GridSpec3D()
+    fz = np.asarray(formation[:, 2], dtype=float)
+    wall_max = float(np.max(borehole[:, 1]))
+    finite = np.isfinite(fz) & (fz > wall_max)
+    if not np.any(finite):
+        return spec, None
+    t_min = float(np.min(fz[finite]) - wall_max)
+    if t_min >= THIN_ANNULUS_MIN_CELLS * spec.h_min_radial:
+        return spec, None
+    target_h = t_min / THIN_ANNULUS_MIN_CELLS
+    refined = dataclasses.replace(
+        spec,
+        nr=max(spec.nr, 65),
+        h_min_radial=min(spec.h_min_radial, target_h),
+        slope_radial=min(spec.slope_radial, 0.35),
+    )
+    notice = (
+        f"Note: thinnest invasion annulus ({t_min:.3f} m over the maximum "
+        f"caliper) spans < {THIN_ANNULUS_MIN_CELLS:g} radial cells of the "
+        f"default 3D grid; auto-refining to nr={refined.nr}, "
+        f"h_min_radial={refined.h_min_radial:.4f} (pass grid_spec3d=GridSpec3D() "
+        "to override)"
+    )
+    return refined, notice
+
+
+def _resolve_spec3d(dip_deg, grid_spec3d, executor_overrides, formation, borehole):
+    """Dip- and invasion-aware 3D grid default: an explicit ``grid_spec3d``
+    (or an ``executor_overrides['spec3d']``, which replaces the config
+    downstream) always wins; otherwise steep dips auto-select
+    ``GridSpec3D.high_dip()`` and thin invasion annuli refine the radial
+    grading. Returns (spec_or_None, [notices]); None means the ExecutorConfig
+    default stands."""
     if grid_spec3d is not None:
-        return grid_spec3d
+        return grid_spec3d, []
     if executor_overrides and "spec3d" in executor_overrides:
-        return None
+        return None, []
+    notices = []
+    spec = None
     if dip_deg >= HIGH_DIP_THRESHOLD_DEG:
-        return GridSpec3D.high_dip()
-    return None
+        spec = GridSpec3D.high_dip()
+        notices.append(
+            f"Note: dip {dip_deg:g} deg >= {HIGH_DIP_THRESHOLD_DEG:g} auto-selects "
+            "the refined GridSpec3D.high_dip() grid (~6x solve cost; pass "
+            "grid_spec3d=GridSpec3D() to keep the default grid)"
+        )
+    spec2, notice = _thin_annulus_refine(spec, formation, borehole)
+    if notice is not None:
+        spec = spec2
+        notices.append(notice)
+    return spec, notices
 
 
 class Model:
@@ -307,7 +364,18 @@ class Model:
         )
 
         spec = grid_spec or _GRID_PRESETS.get(mesh_generator, GridSpec2D())
-        grid_spec3d = _resolve_spec3d(self.dip_deg, grid_spec3d, executor_overrides)
+        is_3d = not np.isclose(self.dip_deg, 0)
+        grid_spec3d, spec_notices = (
+            _resolve_spec3d(
+                self.dip_deg, grid_spec3d, executor_overrides,
+                self.formation_model, self.borehole_model,
+            )
+            if is_3d
+            else (grid_spec3d, [])
+        )
+        if verbose:
+            for notice in spec_notices:
+                print(notice)
         config_kwargs = {}
         if grid_spec3d is not None:
             config_kwargs["spec3d"] = grid_spec3d

@@ -395,15 +395,47 @@ def test_device_meshing_matches_host_meshing():
 def test_dip_aware_grid3d_default():
     """Dips >= 50 deg auto-select the refined high_dip() grid (the default
     grid's bilinear facets sag off steep layer planes: rotated-oracle dip 60
-    max 1.05% default vs 0.50% high_dip, benchmarks/bm3_oracle.py); explicit
-    grid_spec3d or an executor_overrides spec3d always wins; shallow dips and
-    2D keep the ExecutorConfig default."""
-    from remo3d_tpu.model import _resolve_spec3d
+    max 1.05% default vs 0.50% high_dip, benchmarks/bm3_oracle.py); thin
+    invasion annuli refine the radial grading; explicit grid_spec3d or an
+    executor_overrides spec3d always wins; shallow dips and 2D keep the
+    ExecutorConfig default. Every auto-upgrade emits a verbose notice."""
+    import dataclasses
 
-    assert _resolve_spec3d(0.0, None, None) is None
-    assert _resolve_spec3d(45.0, None, None) is None
-    assert _resolve_spec3d(60.0, None, None) == GridSpec3D.high_dip()
-    assert _resolve_spec3d(50.0, None, None) == GridSpec3D.high_dip()
+    from remo3d_tpu.model import THIN_ANNULUS_MIN_CELLS, _resolve_spec3d
+
+    # No invasion zones: dip alone drives the choice.
+    formation = np.array([[0.0, 20.0, np.nan, np.nan, 10.0],
+                          [20.0, 40.0, np.nan, np.nan, 100.0]])
+    borehole = np.array([[0.0, 0.1, 1.0], [60.0, 0.1, 1.0]])
+    assert _resolve_spec3d(0.0, None, None, formation, borehole) == (None, [])
+    assert _resolve_spec3d(45.0, None, None, formation, borehole) == (None, [])
+    spec, notices = _resolve_spec3d(60.0, None, None, formation, borehole)
+    assert spec == GridSpec3D.high_dip() and len(notices) == 1
+    spec, _ = _resolve_spec3d(50.0, None, None, formation, borehole)
+    assert spec == GridSpec3D.high_dip()
     explicit = GridSpec3D(nz=97, np_=9, nr=33)
-    assert _resolve_spec3d(60.0, explicit, None) is explicit
-    assert _resolve_spec3d(60.0, None, {"spec3d": explicit}) is None
+    assert _resolve_spec3d(60.0, explicit, None, formation, borehole) == (explicit, [])
+    assert _resolve_spec3d(
+        60.0, None, {"spec3d": explicit}, formation, borehole
+    ) == (None, [])
+
+    # A thin invasion annulus (< THIN_ANNULUS_MIN_CELLS radial cells of the
+    # default grading) refines nr + h_min_radial; a thick one does not.
+    thin = np.array([[0.0, 20.0, np.nan, np.nan, 10.0],
+                     [20.0, 30.0, 0.2, 5.0, 100.0],
+                     [30.0, 40.0, np.nan, np.nan, 10.0]])
+    spec, notices = _resolve_spec3d(30.0, None, None, thin, borehole)
+    assert spec is not None and spec.nr >= 65 and len(notices) == 1
+    t_min = 0.2 - 0.1
+    assert spec.h_min_radial <= t_min / THIN_ANNULUS_MIN_CELLS + 1e-12
+    thick = dataclasses.replace(GridSpec3D())  # default grading resolves 0.5 m
+    fat = np.array([[0.0, 20.0, np.nan, np.nan, 10.0],
+                    [20.0, 30.0, 0.5, 5.0, 100.0]])
+    assert _resolve_spec3d(30.0, None, None, fat, borehole) == (None, [])
+    assert thick.h_min_radial * THIN_ANNULUS_MIN_CELLS <= 0.4  # rule sanity
+    # Combined: steep dip AND thin annulus -> high_dip meridian with the
+    # refined radial grading, two notices.
+    spec, notices = _resolve_spec3d(60.0, None, None, thin, borehole)
+    assert spec.nz == GridSpec3D.high_dip().nz and spec.nr >= 65
+    assert spec.h_min_radial <= t_min / THIN_ANNULUS_MIN_CELLS + 1e-12
+    assert len(notices) == 2
