@@ -82,8 +82,32 @@ def _solve_traffic_bytes(executor, is_3d):
             op_bytes = f * B * 3 * nz * nr * nr
             per_iter = sweep + op_bytes + (2 * int(np.ceil(np.log2(nz))) + 8) * f * B * S * N
             setup = 5 * op_bytes  # factorization passes over the block stacks
-        else:  # multigrid V-cycle: ~(4/3) level sum of ~8 fine sweeps
-            per_iter = sweep + (4.0 / 3.0) * 8 * sweep + 8 * f * B * S * N
+        else:
+            # Multigrid V-cycle, counted per level (the round-4 model lumped
+            # the V-cycle into "(4/3)*8 stencil sweeps", undercounting the
+            # DOMINANT stream: the XLA factored-PCR line smoother re-reads and
+            # re-writes the full solution array at EVERY reduction level —
+            # ~log2(nz)+log2(nr) levels per line_rz application).
+            per_iter = sweep + 8 * f * B * S * N  # CG matvec + vector passes
+            pallas_lines = bool(rep.get("use_pallas_lines"))
+            for l in range(4):  # MGConfig.n_levels
+                nzl, nrl = (nz - 1) // 2**l + 1, (nr - 1) // 2**l + 1
+                Nl = nzl * nrl
+                vec = f * B * S * Nl
+                stencil_l = f * B * 9 * Nl + 2 * vec
+                n_cheb = (cfg.mg_degree * 2) if l < 3 else 24  # pre+post | coarsest
+                Lz = int(np.ceil(np.log2(nzl)))
+                Lr = int(np.ceil(np.log2(nrl)))
+                fac = 2 * B * (2 * (Lz + Lr) + 2) * Nl  # bf16 factor stacks
+                if pallas_lines and l < 2:  # pallas_line_levels = 2
+                    # Single-pass VMEM kernels: x streams once per direction;
+                    # factor stacks re-fetched once per (batch, tile).
+                    pcr = 2 * (2 * vec) + fac
+                else:
+                    pcr = (Lz + Lr) * 2 * vec + fac
+                # Chebyshev: each step is 1 stencil apply + 1 line_rz; plus
+                # the residual apply + restrict/prolong vector passes.
+                per_iter += n_cheb * (stencil_l + pcr) + stencil_l + 4 * vec
             setup = 6 * sweep  # assembly + Galerkin coarse operators
         total += setup + it * per_iter
     return total

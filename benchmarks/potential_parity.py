@@ -21,13 +21,37 @@ parallel/runtime.py dtype guard). Results are recorded in README.md
 ("Potential-level parity") and one BM1 depth is gated in
 tests/test_potential_parity.py.
 
-Usage: python benchmarks/potential_parity.py [oracle|converge|all]
+A full-resolution sweep takes tens of minutes on a single CPU core, so every
+(case, depth) / scale result is cached in ``benchmarks/.parity_cache/`` and
+the sweep can be run piecewise:
+
+    python benchmarks/potential_parity.py oracle [CASE [DEPTH]]
+    python benchmarks/potential_parity.py converge [SCALE ...]
+    python benchmarks/potential_parity.py report     # assemble cached results
 """
 import dataclasses
+import json
 import os
 import sys
 
 import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".parity_cache")
+
+
+def _cache_get(key):
+    path = os.path.join(CACHE_DIR, key + ".json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _cache_put(key, value):
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, key + ".json")
+    with open(path, "w") as f:
+        json.dump(value, f)
 
 try:
     import remo3d_tpu  # noqa: F401
@@ -136,22 +160,44 @@ CASES = [
 ]
 
 
-def run_oracle():
+def _oracle_one(name, path, zs):
+    """One (case, depth) FEM-vs-FV comparison, cached on disk."""
+    key = f"oracle_{name}_z{zs:g}"
+    hit = _cache_get(key)
+    if hit is None:
+        formation = _load(os.path.join(BM, path))
+        u_fem, res, iters = fem_axis_potentials(formation, zs, OFFSETS)
+        u_fv = fv_axis_potentials(formation, zs, OFFSETS)
+        hit = {
+            "u_fem": list(map(float, u_fem)),
+            "u_fv": list(map(float, u_fv)),
+            "res": res,
+            "iters": iters,
+        }
+        _cache_put(key, hit)
+    rel = np.abs(np.array(hit["u_fem"]) / np.array(hit["u_fv"]) - 1.0)
+    print(
+        f"  {name} z_src={zs:5.1f}: max {rel.max():.2e} mean {rel.mean():.2e}"
+        f"  (CG res {hit['res']:.1e}, {hit['iters']} iters)",
+        flush=True,
+    )
+    return rel.max()
+
+
+def run_oracle(case=None, depth=None):
     print("FEM(f64, tol 1e-13) vs FV oracle(f64, direct) axis potentials")
     print(f"offsets: {OFFSETS}")
     worst = 0.0
+    n_run = 0
     for name, path, depths in CASES:
-        formation = _load(os.path.join(BM, path))
+        if case is not None and name != case:
+            continue
         for zs in depths:
-            u_fem, res, iters = fem_axis_potentials(formation, zs, OFFSETS)
-            u_fv = fv_axis_potentials(formation, zs, OFFSETS)
-            rel = np.abs(u_fem / u_fv - 1.0)
-            worst = max(worst, rel.max())
-            print(
-                f"  {name} z_src={zs:5.1f}: max {rel.max():.2e} mean {rel.mean():.2e}"
-                f"  (CG res {res:.1e}, {iters} iters)"
-            )
-    print(f"[oracle] worst FEM-vs-FV relative potential diff: {worst:.2e}")
+            if depth is not None and abs(zs - depth) > 1e-9:
+                continue
+            worst = max(worst, _oracle_one(name, path, zs))
+            n_run += 1
+    print(f"[oracle] worst FEM-vs-FV relative potential diff ({n_run} depths): {worst:.2e}")
 
 
 def _scaled_spec(s: int):
@@ -176,16 +222,27 @@ def _scaled_spec(s: int):
     )
 
 
-def run_converge():
+def _converge_one(formation, zs, s):
+    key = f"converge_BM1_z{zs:g}_s{s}"
+    hit = _cache_get(key)
+    if hit is None:
+        u, res, iters = fem_axis_potentials(formation, zs, OFFSETS, spec=_scaled_spec(s))
+        hit = {"u": list(map(float, u)), "res": res, "iters": iters}
+        _cache_put(key, hit)
+    print(f"  scale {s}: CG res {hit['res']:.1e} iters {hit['iters']}", flush=True)
+    return np.array(hit["u"])
+
+
+def run_converge(scales=None):
     formation = _load(os.path.join(BM, "Benchmark model 1/Formation_BM1.txt"))
     zs = 13.5
     print(f"f64 self-convergence, BM1 z_src={zs} (residual tol 1e-13)")
+    if scales:  # piecewise mode: just populate the cache for these scales
+        for s in scales:
+            _converge_one(formation, zs, s)
+        return
     scales = [1, 2, 4]
-    us = []
-    for s in scales:
-        u, res, iters = fem_axis_potentials(formation, zs, OFFSETS, spec=_scaled_spec(s))
-        us.append(u)
-        print(f"  scale {s}: CG res {res:.1e} iters {iters}")
+    us = [_converge_one(formation, zs, s) for s in scales]
     for a, b in zip(range(len(scales) - 1), range(1, len(scales))):
         rel = np.abs(us[b] / us[a] - 1.0)
         print(
@@ -208,7 +265,16 @@ def run_converge():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("oracle", "all"):
+    if which == "oracle":
+        case = sys.argv[2] if len(sys.argv) > 2 else None
+        depth = float(sys.argv[3]) if len(sys.argv) > 3 else None
+        run_oracle(case, depth)
+    elif which == "converge":
+        run_converge([int(s) for s in sys.argv[2:]] or None)
+    elif which in ("all", "report"):
+        # "report" only differs in intent: with a warm cache it assembles the
+        # full table without re-solving anything.
         run_oracle()
-    if which in ("converge", "all"):
         run_converge()
+    else:
+        raise SystemExit(f"unknown mode {which!r}")

@@ -17,7 +17,7 @@ borehole it matches an independent float64 finite-volume direct solve to
 0.07% at spot depths where both sit ~4.5% from the golden. The `--oracle` mode
 below reproduces (b).
 
-Usage: python benchmarks/thinbed_parity.py [logs_set(1|2)] [--oracle]
+Usage: python benchmarks/thinbed_parity.py [logs_set(1|2|3|4)] [--oracle]
 """
 
 import os
@@ -38,14 +38,23 @@ TOOLS = ["A0.4M6.0N", "A1.62M6.0N", "A4.0M0.5N", "A8.0M1.0N"]
 def main(logs_set=1):
     from remo3d_tpu import Model
 
+    # Logs 1/3 use Formation_model_1 (thick uniform end layers, no boundary
+    # effects); Logs 2/4 use Formation_model_2. Logs 3/4 are the
+    # depth-MISALIGNMENT sets: the reference simulated at the perturbed true
+    # depths (Logs_depth_shifts.txt DEPT_SHIFTED) and assigned the results to
+    # the nominal depths (Thin-bedded model/README.txt "Logs" section).
     formation = os.path.join(
-        TB, "Formation", f"Formation_model_{1 if logs_set == 1 else 2}.txt"
+        TB, "Formation", f"Formation_model_{1 if logs_set in (1, 3) else 2}.txt"
     )
     borehole = os.path.join(TB, "Borehole", "Borehole_model_correct_rm.txt")
     golden = np.loadtxt(
         os.path.join(TB, "Logs", f"Logs {logs_set}", "Results_1.txt"), skiprows=2
     )
     depths = golden[:, 0]
+    if logs_set in (3, 4):
+        shifts = np.loadtxt(os.path.join(TB, "Logs", "Logs_depth_shifts.txt"), skiprows=2)
+        assert np.allclose(shifts[:, 0], depths), "shift table depth mismatch"
+        depths = shifts[:, 1]  # simulate at the misaligned true depths
 
     model = Model(TOOLS)
     model.set_model_parameters(formation, borehole)
