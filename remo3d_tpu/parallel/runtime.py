@@ -846,7 +846,15 @@ class Executor:
             g0.grid_shape if is_light else g0.coords.shape[:-1]
         )  # (NZ, NR) or (NZ, NP, NR)
         cell_shape = tuple(n - 1 for n in grid_shape)
-        LMAX_LAYERS = 48  # fixed layer-table pad (one compiled shape per run)
+        # Layer-table pad: one compiled shape per run, sized to the deepest
+        # carved stack and bucketed (multiples of 16, floor 48) so typical
+        # runs share an executable while thin-bedded models (the reference's
+        # thin-bedded benchmark carves 140/201 layers) still fit.
+        if is_light:
+            lmax = max(g.bottoms.size for g in grids)
+            LMAX_LAYERS = max(48, -(-lmax // 16) * 16)
+        else:
+            LMAX_LAYERS = 48
 
         # Checkpoint/resume: long (hour-scale 3D) runs persist per-chunk results
         # so a crashed/preempted run resumes instead of recomputing. The key

@@ -392,6 +392,46 @@ def test_device_meshing_matches_host_meshing():
         assert rel.max() < 5e-4, (t, rel)
 
 
+def test_device_meshing_many_layers():
+    """Formations with more carved layers than the 48-entry default pad
+    (the reference's thin-bedded benchmark carves 140/201) must still run
+    on the device-meshed path — the layer-table pad is sized per run —
+    and match host meshing."""
+    edges = np.arange(-5.0, 10.0 + 0.25, 0.25)
+    rho = np.where(np.arange(edges.size - 1) % 2 == 0, 2.0, 20.0)
+    formation = np.column_stack(
+        [edges[:-1], edges[1:], np.full(rho.size, np.nan),
+         np.full(rho.size, np.nan), rho]
+    )
+    formation[0, 0] = -1000.0
+    formation[-1, 1] = 1000.0
+    assert formation.shape[0] > 48
+    borehole = np.array([[-1000.0, 0.1, 0.5], [1000.0, 0.1, 0.5]])
+    depths = np.array([4.9, 5.1])
+
+    def run(device_meshing):
+        m = Model(["A2.0M0.5N"])
+        m.set_model_parameters(formation, borehole)
+        m.initialize_workers()
+        m.simulate_logs(
+            depths,
+            platform="cpu",
+            verbose=False,
+            grid_spec=SMALL_2D,
+            executor_overrides={
+                "preconditioner": "direct",
+                "chunk_size": 2,
+                "device_meshing": device_meshing,
+            },
+        )
+        return np.array(m.logs["A2.0M0.5N"][:, 1])
+
+    dev = run(True)
+    host = run(False)
+    assert np.isfinite(dev).all()
+    assert np.abs(dev / host - 1).max() < 5e-4, (dev, host)
+
+
 def test_dip_aware_grid3d_default():
     """Dips >= 50 deg auto-select the refined high_dip() grid (the default
     grid's bilinear facets sag off steep layer planes: rotated-oracle dip 60
