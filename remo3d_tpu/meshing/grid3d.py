@@ -100,9 +100,10 @@ class GridSpec3D:
         (benchmarks/bm3_oracle.py --nz=257 --nr=65 --np=25) measures dip 60 at
         **max 0.50% / mean 0.23%** vs 1.05% on the default grid — the level the
         reference reaches with order-3 unstructured FEM
-        (/root/reference/remo3d/ngsolve_functions.py:27). ~6x the solve cost of
-        the default grid (TPU v5e: 2.7 pts/s at np_=17 vs 16 pts/s default,
-        scratch/screen3d_tpu.py). Selected AUTOMATICALLY by
+        (/root/reference/remo3d/ngsolve_functions.py:27). ~3x the solve cost of
+        the default grid (TPU v5e: 5.4 vs 16.1 pts/s with the z-tiled
+        half-plane Pallas kernel, ops/pallas_stencil.py; the pre-tiling XLA
+        fallback ran 2.7, scratch/screen3d_tpu.py). Selected AUTOMATICALLY by
         ``Model.simulate_logs`` when dip >= 50 deg and no explicit
         ``grid_spec3d`` is given."""
         return cls(nz=257, np_=25, nr=65)

@@ -46,7 +46,8 @@ _GRID_PRESETS = {
 # refined GridSpec3D.high_dip() preset. The rotated-oracle dip ladder puts the
 # default grid at 0.43% max for dips <= 45 but 1.05% at 60 — the bilinear
 # facets sag off steep layer planes — while high_dip() measures 0.50% at 60
-# (benchmarks/bm3_oracle.py --nz=257 --nr=65 --np=25) at ~6x solve cost.
+# (benchmarks/bm3_oracle.py --nz=257 --nr=65 --np=25) at ~3x solve cost
+# (5.4 vs 16.1 pts/s on v5e with the z-tiled half-plane kernel).
 HIGH_DIP_THRESHOLD_DEG = 50.0
 
 # Minimum radial cells across the thinnest kept invasion annulus before the
@@ -111,7 +112,7 @@ def _resolve_spec3d(dip_deg, grid_spec3d, executor_overrides, formation, borehol
         spec = GridSpec3D.high_dip()
         notices.append(
             f"Note: dip {dip_deg:g} deg >= {HIGH_DIP_THRESHOLD_DEG:g} auto-selects "
-            "the refined GridSpec3D.high_dip() grid (~6x solve cost; pass "
+            "the refined GridSpec3D.high_dip() grid (~3x solve cost; pass "
             "grid_spec3d=GridSpec3D() to keep the default grid)"
         )
     spec2, notice = _thin_annulus_refine(spec, formation, borehole)
