@@ -158,6 +158,38 @@ def test_pallas_stencil3d_matches_xla_apply():
         )
 
 
+def test_pallas_stencil3d_slab_padded_tail():
+    """Slabbed apply with zb*nzc > nz (padded tail slab) — the production
+    high_dip shape is nz=257, nzc picked by budget, tail slab part-empty; the
+    base test above only covers zfull == nz. Rows past the grid are zero-padded
+    in staging, so the tail halo must contribute exactly nothing."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from remo3d_tpu.ops import pallas_stencil
+
+    rng = np.random.default_rng(11)
+    B, S, NP, NR = 1, 2, 3, 5
+    with jax.default_device(jax.devices("cpu")[0]):
+        orig = pl.pallas_call
+        for NZ, chunk in [(7, 2), (11, 4), (9, 8)]:  # zb*nzc = 8/12/16 > nz
+            C = jnp.asarray(_random_symmetric_stencil(rng, B, NZ, NP, NR))
+            u = jnp.asarray(rng.standard_normal((B, S, NZ, NP, NR)).astype(np.float32))
+            ref = stencil3d_apply(C, u)
+            C_half = pallas_stencil.half_planes(C)
+            with mock.patch.object(
+                pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+            ):
+                slabs = pallas_stencil.stage_half_plane_slabs(
+                    C_half, np_=NP, nr=NR, nz_chunk=chunk
+                )
+                out = pallas_stencil.stencil3d_apply_pallas(slabs, u, n_solves=S)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
+            )
+
+
 def _random_tridiag_stencil(rng, B, NZ, NR):
     """Random 9-pt stencil whose r/z line parts are diagonally dominant."""
     C = np.zeros((B, NZ, NR, 3, 3), dtype=np.float32)
