@@ -89,7 +89,6 @@ def _solve_traffic_bytes(executor, is_3d):
             # re-writes the full solution array at EVERY reduction level —
             # ~log2(nz)+log2(nr) levels per line_rz application).
             per_iter = sweep + 8 * f * B * S * N  # CG matvec + vector passes
-            pallas_lines = bool(rep.get("use_pallas_lines"))
             for l in range(4):  # MGConfig.n_levels
                 nzl, nrl = (nz - 1) // 2**l + 1, (nr - 1) // 2**l + 1
                 Nl = nzl * nrl
@@ -99,12 +98,7 @@ def _solve_traffic_bytes(executor, is_3d):
                 Lz = int(np.ceil(np.log2(nzl)))
                 Lr = int(np.ceil(np.log2(nrl)))
                 fac = 2 * B * (2 * (Lz + Lr) + 2) * Nl  # bf16 factor stacks
-                if pallas_lines and l < 2:  # pallas_line_levels = 2
-                    # Single-pass VMEM kernels: x streams once per direction;
-                    # factor stacks re-fetched once per (batch, tile).
-                    pcr = 2 * (2 * vec) + fac
-                else:
-                    pcr = (Lz + Lr) * 2 * vec + fac
+                pcr = (Lz + Lr) * 2 * vec + fac
                 # Chebyshev: each step is 1 stencil apply + 1 line_rz; plus
                 # the residual apply + restrict/prolong vector passes.
                 per_iter += n_cheb * (stencil_l + pcr) + stencil_l + 4 * vec

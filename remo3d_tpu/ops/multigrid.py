@@ -52,11 +52,6 @@ class MGConfig:
     # kernel keeps the 5 coefficient planes VMEM-resident across the solve
     # axis and avoids XLA's per-while-iteration (...,3,3) relayout).
     pallas_levels: int = 0
-    # Apply the factored PCR line solves through the single-pass Pallas kernels
-    # (ops/pallas_lines2d.py) on the N finest levels: all reduction levels run
-    # VMEM-resident instead of materializing the solution in HBM per level
-    # (~10x less smoother traffic). Requires factored_lines.
-    pallas_line_levels: int = 0
     # Truncate the PCR line solves to this many reduction levels (an approximate
     # solve within a 2^k window). As an MG *smoother* the lines only need to
     # damp coupling the coarse grid cannot represent, so a local window is
@@ -156,7 +151,6 @@ def _make_precond(
     smoother: str,
     factored: bool = False,
     max_steps=None,
-    pallas_lines: bool = False,
 ):
     """Inner smoother preconditioner apply: r -> M^{-1} r (identity on Dirichlet).
 
@@ -187,30 +181,7 @@ def _make_precond(
                 return line_solve_r(C, r, max_steps=max_steps)
 
     elif smoother == "line_rz":
-        if factored and pallas_lines:
-            # Single-pass VMEM kernels on bfloat16-stored factors: the rank-4
-            # production arrays go through Pallas; the rank-3 power-iteration
-            # probe uses the XLA apply of the SAME stacked factors, so the
-            # estimated spectrum matches the operator CG actually sees.
-            from .pallas_lines2d import (
-                line_rz_apply_pallas,
-                pcr_apply_stacked,
-                stack_factors,
-            )
-
-            steps_r, dinv_r, _ = line_factor_2d(C, "r", max_steps=max_steps)
-            steps_z, dinv_z, _ = line_factor_2d(C, "z", max_steps=max_steps)
-            F_r = stack_factors(steps_r, dinv_r)
-            F_z = stack_factors(steps_z, dinv_z)
-
-            def apply_(r):
-                if r.ndim == 4:
-                    return line_rz_apply_pallas(F_z, F_r, r, n_solves=r.shape[1])
-                return 0.5 * (
-                    pcr_apply_stacked(F_r, r, -1) + pcr_apply_stacked(F_z, r, -2)
-                )
-
-        elif factored:
+        if factored:
             f_r = line_factor_2d(C, "r", max_steps=max_steps)
             f_z = line_factor_2d(C, "z", max_steps=max_steps)
 
@@ -323,7 +294,6 @@ def build_hierarchy(coords, sigma_cells, free_mask, config: MGConfig, C_fine=Non
             config.smoother,
             config.factored_lines,
             config.line_max_steps,
-            pallas_lines=config.factored_lines and l < config.pallas_line_levels,
         )
         levels.append(
             {

@@ -90,13 +90,13 @@ def _build_rhs3_subtract(coords, sigma, free, src_i, src_fac, C_raw, metric="car
 @partial(
     jax.jit,
     static_argnames=(
-        "tol", "maxiter", "precond", "adi_damp", "use_pallas", "use_pallas_lines",
+        "tol", "maxiter", "precond", "adi_damp", "use_pallas",
         "schedule",
     ),
 )
 def _pcg3(
     C, b, u_axis_offset, G3=None, *, tol, maxiter, precond="adi", adi_damp=0.6,
-    use_pallas=False, use_pallas_lines=False, schedule="scan",
+    use_pallas=False, schedule="scan",
 ):
     """Stage 3: pole-tied line-preconditioned CG + axis readout.
 
@@ -127,24 +127,8 @@ def _pcg3(
         else {d: line_factor3(C, d) for d in ("z", "p", "r")}
     )
 
-    if use_pallas_lines and factors:
-        # Single-pass VMEM kernels: all PCR levels run in VMEM instead of
-        # materializing the intermediate solution in HBM per level.
-        from ..ops.pallas_lines3d import line_apply3_pallas, stack_factors3
-
-        np3, nr3 = b.shape[-2], b.shape[-1]
-        n_sol = b.shape[-4]
-        Fs = {d: stack_factors3(f[0], f[1]) for d, f in factors.items()}
-
-        def line_apply(d, x):
-            return line_apply3_pallas(
-                Fs[d], x, direction=d, np_=np3, nr=nr3, n_solves=n_sol
-            )
-
-    else:
-
-        def line_apply(d, x):
-            return line_apply3(factors[d], x)
+    def line_apply(d, x):
+        return line_apply3(factors[d], x)
 
     if use_pallas:
         # Symmetric half-plane Pallas stencil: ~half the coefficient traffic
@@ -212,7 +196,7 @@ def _pcg3(
 
 def _solve_chunk_3d(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, subtract=True,
-    precond="adi", adi_damp=0.6, use_pallas=False, use_pallas_lines=False,
+    precond="adi", adi_damp=0.6, use_pallas=False,
     schedule="scan", factor_passes=None, metric="cartesian",
 ):
     """3D chunk solve: hex assembly + singularity subtraction + pole-tied line-CG.
@@ -256,7 +240,7 @@ def _solve_chunk_3d(
     )
     return _pcg3(
         C, b, u_axis_offset, G3, tol=tol, maxiter=maxiter, precond=precond,
-        adi_damp=adi_damp, use_pallas=use_pallas, use_pallas_lines=use_pallas_lines,
+        adi_damp=adi_damp, use_pallas=use_pallas,
         schedule=schedule,
     )
 
@@ -286,14 +270,14 @@ def _factor3_direct(C, *, np_, nr, schedule="scan", passes=None):
     jax.jit,
     static_argnames=(
         "tol", "maxiter", "preconditioner", "subtract", "factored_lines",
-        "use_pallas", "use_pallas_lines", "mg_degree", "mg_power_iters",
+        "use_pallas", "mg_degree", "mg_power_iters",
         "mg_line_steps", "mg_smoother",
     ),
 )
 def _solve_chunk(
     coords, sigma, free, src_i, src_fac, *, tol, maxiter, preconditioner,
     subtract=True, factored_lines=False, use_pallas=False,
-    use_pallas_lines=False, mg_degree=3, mg_power_iters=12, mg_line_steps=None,
+    mg_degree=3, mg_power_iters=12, mg_line_steps=None,
     mg_smoother="line_rz",
 ):
     """Assemble + batched PCG + axis-potential extraction for one chunk.
@@ -338,9 +322,6 @@ def _solve_chunk(
                 # Half-plane Pallas stencil on the two finest levels — the
                 # dominant smoother traffic (same trick as the 3D kernel).
                 pallas_levels=2 if use_pallas else 0,
-                # Single-pass VMEM line-solve kernels on the two finest levels
-                # (~10x less smoother HBM traffic than the per-level XLA apply).
-                pallas_line_levels=2 if use_pallas_lines else 0,
                 degree_pre=mg_degree,
                 degree_post=mg_degree,
                 power_iters=mg_power_iters,
@@ -579,9 +560,6 @@ class ExecutorConfig:
     # on v5e vs the XLA 27-plane apply inside the CG loop). None = auto: on for
     # accelerator backends, off for CPU (the kernel needs real TPU hardware).
     use_pallas_stencil: bool | None = None
-    # Single-pass Pallas line-solve kernels in the 2D MG smoother
-    # (ops/pallas_lines2d.py). None = follow use_pallas_stencil.
-    use_pallas_lines: bool | None = False
     # 2D MG smoother tuning (Chebyshev degree of pre/post smoothing; power
     # iterations of the per-batch spectral estimate; PCR line-solve truncation —
     # safe inside the Pallas kernels, CPU-only for the XLA path, see MGConfig).
@@ -956,12 +934,6 @@ class Executor:
                 # refined grids fit VMEM instead of hitting round 4's 280k
                 # remote-compiler cliff.
                 use_pallas = on_accel and n_dev == 1
-            use_pallas_lines = self.config.use_pallas_lines
-            if use_pallas_lines is None:
-                use_pallas_lines = use_pallas
-            # Recorded for bench.py's traffic model (the PCR smoother stream
-            # count depends on which line-apply path actually ran).
-            self.last_report["use_pallas_lines"] = bool(use_pallas_lines and on_accel)
             self.last_report["use_pallas_stencil"] = bool(use_pallas)
             if is_3d:
                 return _solve_chunk_3d(
@@ -971,7 +943,6 @@ class Executor:
                     precond=self.config.precond3d,
                     adi_damp=self.config.adi_damp,
                     use_pallas=use_pallas,
-                    use_pallas_lines=use_pallas_lines and on_accel,
                     schedule=self.config.direct_schedule,
                     factor_passes=self.config.direct_factor_passes,
                     metric=self.config.metric3d,
@@ -995,7 +966,6 @@ class Executor:
                 # original in-line elimination path.
                 factored_lines=on_accel,
                 use_pallas=use_pallas,
-                use_pallas_lines=use_pallas_lines and on_accel,
                 mg_degree=self.config.mg_degree,
                 mg_power_iters=self.config.mg_power_iters,
                 mg_line_steps=self.config.mg_line_steps,

@@ -10,8 +10,6 @@ from remo3d_tpu import Model
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "base"
 kw = {}
-if variant == "plines":
-    kw["use_pallas_lines"] = True
 if "direct" in variant:
     kw["precond3d"] = "direct"
 if "fp" in variant:  # e.g. direct_fp6: batched Schur fixed-point, 6 passes

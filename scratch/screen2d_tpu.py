@@ -60,16 +60,6 @@ VARIANTS = {
         "preconditioner": "direct", "direct_schedule": "bcr",
         "device_meshing": True,
     },
-    # VMEM single-pass line kernels in the MG smoother (~10x less smoother
-    # HBM traffic than the XLA PCR stages) — the main remaining 2D lever.
-    "pallas_lines": {"use_pallas_lines": True},
-    # Fault bisection: lines kernels WITHOUT the half-plane stencil kernel in
-    # the same program (isolated-repro passes at exact production shapes, so
-    # the round-4 worker fault needs the full MG program — find the partner).
-    "pallas_lines_nostencil": {"use_pallas_lines": True, "use_pallas_stencil": False},
-    "pallas_lines_jacobi": {"use_pallas_lines": True, "mg_smoother": "jacobi"},
-    "pallas_lines_devmesh": {"use_pallas_lines": True, "device_meshing": True},
-    "pallas_lines_c192": {"use_pallas_lines": True, "chunk_size": 192},
 }
 
 

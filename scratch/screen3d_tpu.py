@@ -25,12 +25,7 @@ from remo3d_tpu.meshing.grid3d import GridSpec3D
 
 VARIANTS = {
     "base": {},
-    # Single-pass VMEM PCR line kernels in the ADI preconditioner
-    # (ops/pallas_lines3d.py) — committed round 2 "off by default until
-    # TPU-validated" (c664ec3); this is the validation.
-    "pallas_lines": {"use_pallas_lines": True},
     "chunk12": {"chunk_size_3d": 12},
-    "pallas_lines_chunk12": {"use_pallas_lines": True, "chunk_size_3d": 12},
     # Refined-meridian grids (VERDICT r3 #7): the dip->0 study's 257x65 point
     # closes the default-grid gap 1.01% -> 0.51%; this measures its pts/s cost
     # on the flagship workload so the preset ships with a recorded price.

@@ -190,154 +190,6 @@ def test_pallas_stencil3d_slab_padded_tail():
             )
 
 
-def _random_tridiag_stencil(rng, B, NZ, NR):
-    """Random 9-pt stencil whose r/z line parts are diagonally dominant."""
-    C = np.zeros((B, NZ, NR, 3, 3), dtype=np.float32)
-    C[..., 1, 1] = 6.0 + rng.random((B, NZ, NR))
-    for di, dj in [(1, 0), (1, 2), (0, 1), (2, 1)]:
-        C[..., di, dj] = rng.standard_normal((B, NZ, NR)).astype(np.float32)
-    # Zero the couplings that would reach outside the grid (edge rows/cols).
-    C[:, :, 0, 1, 0] = 0.0
-    C[:, :, -1, 1, 2] = 0.0
-    C[:, 0, :, 0, 1] = 0.0
-    C[:, -1, :, 2, 1] = 0.0
-    return C
-
-
-def test_pallas_pcr_line_apply_matches_xla():
-    """The single-pass PCR line-solve kernels (ops/pallas_lines2d.py — the 2D MG
-    smoother hot path on accelerators) vs the XLA factored apply, both
-    directions, via the Pallas interpreter. float32 factor storage isolates the
-    kernel logic; the bfloat16 production storage is checked separately."""
-    from unittest import mock
-
-    from jax.experimental import pallas as pl
-
-    from remo3d_tpu.ops import pallas_lines2d
-    from remo3d_tpu.ops.lines import line_apply_2d, line_factor_2d
-
-    rng = np.random.default_rng(23)
-    B, S, NZ, NR = 2, 3, 9, 6
-    with jax.default_device(jax.devices("cpu")[0]):
-        C = jnp.asarray(_random_tridiag_stencil(rng, B, NZ, NR))
-        b = jnp.asarray(rng.standard_normal((B, S, NZ, NR)).astype(np.float32))
-
-        orig = pl.pallas_call
-        interp = lambda *a, **k: orig(*a, **{**k, "interpret": True})
-        for direction, axis in (("z", -2), ("r", -1)):
-            steps, dinv, _ = line_factor_2d(C, direction)
-            ref = line_apply_2d((steps, dinv, axis), b)
-            F = pallas_lines2d.stack_factors(steps, dinv, dtype=jnp.float32)
-            # XLA apply of the stacked storage (the rank-3 power-iteration path).
-            out_x = pallas_lines2d.pcr_apply_stacked(F, b, axis)
-            np.testing.assert_allclose(
-                np.asarray(out_x), np.asarray(ref), rtol=2e-5, atol=1e-5
-            )
-            with mock.patch.object(pl, "pallas_call", interp):
-                out_p = pallas_lines2d.pcr_apply_pallas(F, b, axis=axis, n_solves=S)
-            np.testing.assert_allclose(
-                np.asarray(out_p), np.asarray(ref), rtol=2e-5, atol=1e-5
-            )
-
-
-def test_pallas_line_rz_bf16_preconditioner_quality():
-    """The production bfloat16 factor storage: the additive r+z apply stays a
-    close approximation of the exact float32 line relaxation (it only steers a
-    preconditioner; CG controls the final accuracy)."""
-    from unittest import mock
-
-    from jax.experimental import pallas as pl
-
-    from remo3d_tpu.ops import pallas_lines2d
-    from remo3d_tpu.ops.lines import line_apply_2d, line_factor_2d
-
-    rng = np.random.default_rng(29)
-    B, S, NZ, NR = 1, 2, 9, 6
-    with jax.default_device(jax.devices("cpu")[0]):
-        C = jnp.asarray(_random_tridiag_stencil(rng, B, NZ, NR))
-        b = jnp.asarray(rng.standard_normal((B, S, NZ, NR)).astype(np.float32))
-
-        f_r = line_factor_2d(C, "r")
-        f_z = line_factor_2d(C, "z")
-        ref = 0.5 * (line_apply_2d(f_r, b) + line_apply_2d(f_z, b))
-        F_r = pallas_lines2d.stack_factors(f_r[0], f_r[1])
-        F_z = pallas_lines2d.stack_factors(f_z[0], f_z[1])
-
-        orig = pl.pallas_call
-        with mock.patch.object(
-            pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
-        ):
-            out = pallas_lines2d.line_rz_apply_pallas(F_z, F_r, b, n_solves=S)
-        err = np.abs(np.asarray(out) - np.asarray(ref))
-        scale = np.abs(np.asarray(ref)).max()
-        assert err.max() <= 0.03 * scale
-
-
-def test_pallas_pcr_line_apply3_matches_xla():
-    """The 3D single-pass PCR line kernels (ops/pallas_lines3d.py — the ADI
-    preconditioner hot path on accelerators) vs the XLA factored apply, all
-    three directions, via the Pallas interpreter."""
-    from unittest import mock
-
-    from jax.experimental import pallas as pl
-
-    from remo3d_tpu.ops import pallas_lines3d
-    from remo3d_tpu.ops.lines3d import line_apply3, line_factor3
-
-    rng = np.random.default_rng(31)
-    B, S, NZ, NP, NR = 2, 2, 7, 4, 6
-    with jax.default_device(jax.devices("cpu")[0]):
-        C = jnp.asarray(_random_symmetric_stencil(rng, B, NZ, NP, NR))
-        # Strengthen the diagonal so all three line parts are solvable.
-        C = C.at[..., entry_index(0, 0, 0)].add(10.0)
-        b = jnp.asarray(rng.standard_normal((B, S, NZ, NP, NR)).astype(np.float32))
-
-        orig = pl.pallas_call
-        interp = lambda *a, **k: orig(*a, **{**k, "interpret": True})
-        for direction in ("z", "p", "r"):
-            f = line_factor3(C, direction)
-            ref = line_apply3(f, b)
-            F = pallas_lines3d.stack_factors3(f[0], f[1], dtype=jnp.float32)
-            with mock.patch.object(pl, "pallas_call", interp):
-                out = pallas_lines3d.line_apply3_pallas(
-                    F, b, direction=direction, np_=NP, nr=NR, n_solves=S
-                )
-            np.testing.assert_allclose(
-                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5,
-                err_msg=direction,
-            )
-
-
-def test_pallas_pcr_partial_row_tile():
-    """Radial-solve sublane tiling with a NON-dividing final tile (the
-    production NZ=761 case): padded rows are independent and masked on write."""
-    from unittest import mock
-
-    from jax.experimental import pallas as pl
-
-    from remo3d_tpu.ops import pallas_lines2d
-    from remo3d_tpu.ops.lines import line_apply_2d, line_factor_2d
-
-    rng = np.random.default_rng(37)
-    B, S, NZ, NR = 1, 2, 10, 6  # row_block=4 -> tiles cover 12 > 10 rows
-    with jax.default_device(jax.devices("cpu")[0]):
-        C = jnp.asarray(_random_tridiag_stencil(rng, B, NZ, NR))
-        b = jnp.asarray(rng.standard_normal((B, S, NZ, NR)).astype(np.float32))
-        steps, dinv, _ = line_factor_2d(C, "r")
-        ref = line_apply_2d((steps, dinv, -1), b)
-        F = pallas_lines2d.stack_factors(steps, dinv, dtype=jnp.float32)
-        orig = pl.pallas_call
-        with mock.patch.object(
-            pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
-        ):
-            out = pallas_lines2d.pcr_apply_pallas(
-                F, b, axis=-1, n_solves=S, row_block=4
-            )
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
-        )
-
-
 def test_stencil3d_slab_chunking():
     """The z-slab chooser keeps every slab under the measured VMEM budget and
     tiles the refined grids that crashed round 4's un-tiled kernel (280k
