@@ -43,6 +43,16 @@ VARIANTS = {
         "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 192,
     },
     "devmesh": {"device_meshing": True},
+    # Round-5 structural latency attack (VERDICT r4 item 5): the 761x161
+    # chunks are latency-bound, so vary the dispatch structure itself —
+    # deeper pipelining (more chunks in flight over the axon tunnel),
+    # no pipelining (quantifies what the window already buys), and the
+    # deepest window at the measured-best chunk/devmesh config.
+    "win1": {"pipeline_window": 1},
+    "win6": {"pipeline_window": 6},
+    "win12": {"pipeline_window": 12},
+    "win6_devmesh": {"pipeline_window": 6, "device_meshing": True},
+    "win12_c48": {"pipeline_window": 12, "chunk_size": 48},
     "direct_bcr_c16": {
         "preconditioner": "direct", "direct_schedule": "bcr", "chunk_size": 16,
     },
