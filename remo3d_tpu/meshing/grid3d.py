@@ -34,6 +34,10 @@ import numpy as np
 from .carve import LocalModel
 from .grid2d import _graded_1d, _snap, _squircle_blend
 
+# Minimum radial cells across an invasion annulus before it counts as
+# under-resolved (shared with the model-layer auto-refine rule).
+THIN_ANNULUS_MIN_CELLS = 4.0
+
 
 @dataclasses.dataclass(frozen=True)
 class GridSpec3D:
@@ -54,6 +58,14 @@ class GridSpec3D:
     h_min_radial: float = 0.03
     slope_radial: float = 0.5
     h_max_radial_frac: float = 0.15
+    # Anchor spacing for UNDER-RESOLVED invasion boundaries only (annulus over
+    # the max caliper thinner than THIN_ANNULUS_MIN_CELLS * h_min_radial).
+    # None = all invasion anchors use h_min_radial. Set by the thin-annulus
+    # auto rule (model._thin_annulus_refine): refining only the thin anchors
+    # keeps the fixed radial station budget from starving the mid-field —
+    # a global h_min_radial cut was measured to IMPROVE the thin 0.2 m bed but
+    # REGRESS the well-resolved 0.5 m bed ~4x (scratch/screen_bm2_thin.py).
+    fz_h_radial: float | None = None
     blend_m0: float = 0.35
     shear_cap_frac: float = 0.2  # max |shear offset| as a fraction of R
     # Azimuth lines are spaced uniformly. Clustering them toward phi = 0/pi
@@ -237,12 +249,21 @@ def build_grid3d(
         if r_min_inv * 0.8 > wall_max:
             r_detach = min(r_detach, max(r_min_inv * 0.8, wall_max * 1.05))
     n_far_lines = spec.nr - spec.n_wall_cells - spec.n_blend_cells
+    anchors = [(np.array([r_detach]), spec.h_min_radial, spec.slope_radial)]
+    if invasion.size:
+        if spec.fz_h_radial is not None:
+            thin = (invasion - wall_max) < THIN_ANNULUS_MIN_CELLS * spec.h_min_radial
+            if np.any(thin):
+                anchors.append((invasion[thin], spec.fz_h_radial, spec.slope_radial))
+            if np.any(~thin):
+                anchors.append((invasion[~thin], spec.h_min_radial, spec.slope_radial))
+        else:
+            anchors.append((invasion, spec.h_min_radial, spec.slope_radial))
     far = _graded_1d(
         r_detach,
         R,
         n_far_lines,
-        [(np.array([r_detach]), spec.h_min_radial, spec.slope_radial)]
-        + ([(invasion, spec.h_min_radial, spec.slope_radial)] if invasion.size else []),
+        anchors,
         spec.h_max_radial_frac * R,
     )
     far = _snap(far, invasion[(invasion > r_detach) & (invasion < R)])

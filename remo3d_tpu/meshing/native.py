@@ -162,6 +162,16 @@ def build_grid3d_native(
     source_positions: np.ndarray,
 ) -> Grid3D:
     """Native counterpart of :func:`remo3d_tpu.meshing.grid3d.build_grid3d`."""
+    if spec.fz_h_radial is not None:
+        # The C ABI predates the anchor-local thin-annulus refinement; the
+        # Python builder handles it (meshing is ~0.2% of chunk wall time, so
+        # the native speedup is immaterial for these runs).
+        from .grid3d import build_grid3d
+
+        return build_grid3d(
+            spec, domain_radius, local_model, dip_rad,
+            electrode_positions, source_positions,
+        )
     lib = _load()
     if lib is None:
         raise RuntimeError("native grid builder unavailable")

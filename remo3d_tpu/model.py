@@ -21,7 +21,7 @@ import numpy as np
 
 from . import io as mio
 from .meshing.grid2d import GridSpec2D
-from .meshing.grid3d import GridSpec3D
+from .meshing.grid3d import THIN_ANNULUS_MIN_CELLS, GridSpec3D
 from .parallel.runtime import Executor, ExecutorConfig
 from .planner import plan_tasks
 from .plotting import save_results_impl
@@ -55,8 +55,9 @@ HIGH_DIP_THRESHOLD_DEG = 50.0
 # tets around its invasion half-cylinders instead, gmsh_functions.py:625-643).
 # Measured on the BM2+sinusoidal-caliper oracle (scratch/screen_bm2_thin.py):
 # the default grid leaves the 0.2 m-radius annulus (~0.09 m thick over the
-# wall) at ~2.4 cells / 2.35% vs the FV-anchored 2D solver.
-THIN_ANNULUS_MIN_CELLS = 4.0
+# wall) at ~2.4 cells / 2.35% vs the FV-anchored 2D solver. The cell-count
+# threshold THIN_ANNULUS_MIN_CELLS lives in meshing.grid3d (shared with the
+# builder's anchor classification).
 
 
 def _thin_annulus_refine(spec, formation, borehole):
@@ -65,9 +66,13 @@ def _thin_annulus_refine(spec, formation, borehole):
     Returns (spec, notice_or_None). The thinnest annulus is measured
     conservatively against the maximum caliper radius; if it spans fewer than
     ``THIN_ANNULUS_MIN_CELLS`` cells of ``spec.h_min_radial``, the spec gets
-    ``nr >= 65``, ``h_min_radial <= thickness/THIN_ANNULUS_MIN_CELLS`` and a
-    tightened radial slope (mirrors the 2D anchor's 0.008/0.12 grading that
-    the production 2D-vs-FV 0.21% rests on).
+    ``nr >= 65`` and ``fz_h_radial <= thickness/THIN_ANNULUS_MIN_CELLS`` —
+    an ANCHOR-LOCAL refinement of only the under-resolved invasion
+    boundaries. The first shipped rule cut the global ``h_min_radial``
+    instead, which crowded the fixed radial budget at every anchor and was
+    measured to regress the well-resolved 0.5 m bed ~4x while fixing the thin
+    one (scratch/screen_bm2_thin.py); the local rule leaves the rest of the
+    grid untouched.
     """
     spec = spec or GridSpec3D()
     fz = np.asarray(formation[:, 2], dtype=float)
@@ -79,18 +84,18 @@ def _thin_annulus_refine(spec, formation, borehole):
     if t_min >= THIN_ANNULUS_MIN_CELLS * spec.h_min_radial:
         return spec, None
     target_h = t_min / THIN_ANNULUS_MIN_CELLS
+    fz_h = target_h if spec.fz_h_radial is None else min(spec.fz_h_radial, target_h)
     refined = dataclasses.replace(
         spec,
         nr=max(spec.nr, 65),
-        h_min_radial=min(spec.h_min_radial, target_h),
-        slope_radial=min(spec.slope_radial, 0.35),
+        fz_h_radial=fz_h,
     )
     notice = (
         f"Note: thinnest invasion annulus ({t_min:.3f} m over the maximum "
         f"caliper) spans < {THIN_ANNULUS_MIN_CELLS:g} radial cells of the "
         f"default 3D grid; auto-refining to nr={refined.nr}, "
-        f"h_min_radial={refined.h_min_radial:.4f} (pass grid_spec3d=GridSpec3D() "
-        "to override)"
+        f"fz_h_radial={refined.fz_h_radial:.4f} at the thin invasion anchors "
+        "(pass grid_spec3d=GridSpec3D() to override)"
     )
     return refined, notice
 

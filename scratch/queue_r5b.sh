@@ -34,5 +34,8 @@ run() {  # name timeout cmd...
   log "DONE $name rc=$rc; tail: $(tail -1 "$out")"
 }
 
-run struct2d 4800 python scratch/screen2d_tpu.py base win1 win6 win12 win6_devmesh win12_c48
+# NOTE: the bench workload is ONE chunk (41 batches < chunk_size 96), so the
+# win* variants mostly bound the host-staging overlap; the smoother variants
+# change the within-program op mix where the 2D floor actually lives.
+run struct2d 4800 python scratch/screen2d_tpu.py base win1 jacobi_deg5 line_r win6_devmesh
 log "QUEUE B DONE"

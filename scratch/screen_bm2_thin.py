@@ -24,7 +24,7 @@ from benchmarks.bm2_dip_oracle import SPOT_DEPTHS, fem_log
 from remo3d_tpu.meshing.grid3d import GridSpec3D
 
 D = GridSpec3D()
-AUTO = dataclasses.replace(D, nr=65, h_min_radial=0.085 / 4, slope_radial=0.35)
+AUTO = dataclasses.replace(D, nr=65, fz_h_radial=0.085 / 4)  # the shipped anchor-local rule
 # (spec_or_None, simulate_logs extra kwargs). The *_nostencil variants
 # disambiguate the z=20 shoulder regression (0.66% stock -> 2.09% auto):
 # the auto grid is strictly FINER radially, but at nr=65 (213k nodes) the

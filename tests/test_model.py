@@ -460,14 +460,19 @@ def test_dip_aware_grid3d_default():
     ) == (None, [])
 
     # A thin invasion annulus (< THIN_ANNULUS_MIN_CELLS radial cells of the
-    # default grading) refines nr + h_min_radial; a thick one does not.
+    # default grading) refines nr + the ANCHOR-LOCAL fz_h_radial (the global
+    # h_min_radial stays put so the rest of the grid keeps its budget);
+    # a thick one does not.
     thin = np.array([[0.0, 20.0, np.nan, np.nan, 10.0],
                      [20.0, 30.0, 0.2, 5.0, 100.0],
                      [30.0, 40.0, np.nan, np.nan, 10.0]])
     spec, notices = _resolve_spec3d(30.0, None, None, thin, borehole)
     assert spec is not None and spec.nr >= 65 and len(notices) == 1
     t_min = 0.2 - 0.1
-    assert spec.h_min_radial <= t_min / THIN_ANNULUS_MIN_CELLS + 1e-12
+    assert spec.fz_h_radial is not None
+    assert spec.fz_h_radial <= t_min / THIN_ANNULUS_MIN_CELLS + 1e-12
+    assert spec.h_min_radial == GridSpec3D().h_min_radial
+    assert spec.slope_radial == GridSpec3D().slope_radial
     thick = dataclasses.replace(GridSpec3D())  # default grading resolves 0.5 m
     fat = np.array([[0.0, 20.0, np.nan, np.nan, 10.0],
                     [20.0, 30.0, 0.5, 5.0, 100.0]])
@@ -477,5 +482,5 @@ def test_dip_aware_grid3d_default():
     # refined radial grading, two notices.
     spec, notices = _resolve_spec3d(60.0, None, None, thin, borehole)
     assert spec.nz == GridSpec3D.high_dip().nz and spec.nr >= 65
-    assert spec.h_min_radial <= t_min / THIN_ANNULUS_MIN_CELLS + 1e-12
+    assert spec.fz_h_radial <= t_min / THIN_ANNULUS_MIN_CELLS + 1e-12
     assert len(notices) == 2
